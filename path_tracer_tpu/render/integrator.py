@@ -1,0 +1,194 @@
+"""Wavefront path-tracing integrator.
+
+The reference's recursive ``radiance`` (``mod.rs:661-792``) becomes a
+``lax.scan`` over bounce depth carrying per-ray state
+``(origin, direction, throughput, accum, alive)``. Branches are masked
+``jnp.where`` lanes; Russian roulette is masked termination. The transform is
+expectation-preserving (verified against a literal recursive oracle in
+tests/test_parity.py):
+
+recursive form                         wavefront form
+--------------                         --------------
+return emission (+ color * L(next))    accum += throughput * emission
+color scaling / RR rescale 1/p         throughput *= color_eff * brdf_weight
+recursion                              next scan step with new (o, d)
+miss → black                           lane dies, accum unchanged
+hard cut MAX_DEPTH=12                  scan length 12 (new_depth<12 in the
+                                       RR survive condition kills step 12)
+
+Extra (math-neutral) optimization: a lane whose throughput becomes exactly
+zero (e.g. after hitting a color-(0,0,0) emissive sphere) can never add
+radiance again, so it dies immediately instead of tracing on.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from path_tracer_tpu.ops import rng
+from path_tracer_tpu.ops.bsdf import sample_bsdf
+from path_tracer_tpu.ops.intersect import intersect_scene
+
+
+class TraceResult(NamedTuple):
+    radiance: jax.Array  # [N,3] per-sample radiance estimate
+    rays_traced: jax.Array  # [] i64-ish: total alive lanes over all bounces
+
+
+def trace(
+    o,
+    d,
+    scene: dict,
+    key,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    mode: str = "fast",
+    unroll: int = 1,
+) -> TraceResult:
+    """Trace a batch of rays to completion. o, d: [N,3] f32."""
+    n = o.shape[0]
+    thr = jnp.ones((n, 3), jnp.float32)
+    acc = jnp.zeros((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    def step(carry, s):
+        o, d, thr, acc, alive = carry
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+
+        hit = intersect_scene(o, d, scene, mode=mode)
+        found = hit.found & alive
+
+        nd = jnp.sum(hit.normal * d, axis=-1)
+        nl = jnp.where((nd < 0.0)[:, None], hit.normal, -hit.normal)
+
+        u = rng.bounce_uniforms(key, s, (n,), 4)  # rr, u1, u2, branch
+        new_depth = s + 1
+
+        # Russian roulette (mod.rs:676-683): when new_depth > 5, survive with
+        # p = max(color) only if new_depth < MAX_DEPTH; survivor color /= p.
+        max_refl = jnp.max(hit.color, axis=-1)
+        rr_applies = new_depth > rr_start_depth
+        survive = (u[:, 0] < max_refl) & (new_depth < max_depth)
+        die_rr = rr_applies & ~survive
+        scale = jnp.where(
+            rr_applies & survive, 1.0 / jnp.maximum(max_refl, 1e-30), 1.0
+        )
+        color_eff = hit.color * scale[:, None]
+
+        # Both the terminate and continue paths add emission.
+        acc = acc + jnp.where(found[:, None], thr * hit.emission, 0.0)
+
+        bs = sample_bsdf(d, hit.normal, nl, hit.rtype, u[:, 1:4])
+        thr_new = thr * color_eff * bs.weight
+
+        alive_new = found & ~die_rr & (jnp.max(thr_new, axis=-1) > 0.0)
+
+        # Keep dead lanes numerically inert.
+        o_new = jnp.where(alive_new[:, None], hit.point, o)
+        d_new = jnp.where(alive_new[:, None], bs.direction, d)
+        thr_new = jnp.where(alive_new[:, None], thr_new, 0.0)
+
+        return (o_new, d_new, thr_new, acc, alive_new), n_alive
+
+    (_, _, _, acc, _), alive_counts = lax.scan(
+        step,
+        (o, d, thr, acc, alive),
+        jnp.arange(max_depth, dtype=jnp.int32),
+        unroll=unroll,
+    )
+    return TraceResult(radiance=acc, rays_traced=jnp.sum(alive_counts))
+
+
+def render_samples(
+    scene: dict,
+    cam: dict,
+    pixel_idx,
+    sample_idx,
+    key,
+    *,
+    width: int,
+    height: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    mode: str = "fast",
+) -> TraceResult:
+    """Generate camera rays for (pixel, sample) pairs and trace them."""
+    from path_tracer_tpu.render.raygen import generate_rays
+
+    u = rng.raygen_uniforms(key, (pixel_idx.shape[0],), 2)
+    o, d = generate_rays(pixel_idx, sample_idx, u, cam, width, height)
+    return trace(
+        o,
+        d,
+        scene,
+        key,
+        max_depth=max_depth,
+        rr_start_depth=rr_start_depth,
+        mode=mode,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "samples_in_pass",
+        "max_depth",
+        "rr_start_depth",
+        "mode",
+    ),
+    donate_argnames=("accum",),
+)
+def render_pass(
+    scene: dict,
+    cam: dict,
+    accum,
+    pass_idx,
+    base_key,
+    *,
+    width: int,
+    height: int,
+    samples_in_pass: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    mode: str = "fast",
+):
+    """One device dispatch: all pixels × samples_in_pass samples.
+
+    accum: [W*H, 3] running radiance sum (donated). pass_idx selects which
+    global sample indices this pass covers and seeds the RNG stream.
+    Returns (accum', rays_traced).
+    """
+    npix = width * height
+    k = samples_in_pass
+    pixel_idx = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), k)
+    sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + pass_idx * k
+    key = rng.chunk_key(base_key, pass_idx)
+
+    result = render_samples(
+        scene,
+        cam,
+        pixel_idx,
+        sample_idx,
+        key,
+        width=width,
+        height=height,
+        max_depth=max_depth,
+        rr_start_depth=rr_start_depth,
+        mode=mode,
+    )
+    accum = accum + result.radiance.reshape(npix, k, 3).sum(axis=1)
+    return accum, result.rays_traced
+
+
+def finalize(accum, spp: int):
+    """Average over spp and clamp per channel to [0,1] AFTER averaging
+    (mod.rs:849-856)."""
+    return jnp.clip(accum / jnp.float32(spp), 0.0, 1.0)

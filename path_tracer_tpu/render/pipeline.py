@@ -1,0 +1,230 @@
+"""Host-side render orchestration.
+
+Replaces the reference's thread/channel architecture (``mod.rs:928-1099``:
+rayon pool + cancel-watcher thread + progress thread + mutexed framebuffer)
+with chunked device dispatch: one jit call per sample-pass, a pure-functional
+accumulator that never leaves the device between passes, progress callbacks
+and cooperative cancellation between dispatches, and chunk-level
+checkpoint/resume (the idiomatic upgrade for preemptible TPU pods — the
+reference has no persistence at all).
+
+Cancellation parity (§3.3 of the survey): a cancelled render still produces a
+``RenderDone`` with the partial image and still writes the PPM.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from path_tracer_tpu.models.scene import SceneDescriptor, pack_scene
+from path_tracer_tpu.ops import rng
+from path_tracer_tpu.ops.intersect import triangle_coeffs
+from path_tracer_tpu.render import integrator
+from path_tracer_tpu.render.image import Image, write_ppm
+from path_tracer_tpu.render.raygen import camera_arrays
+from path_tracer_tpu.utils.config import RenderConfig
+from path_tracer_tpu.utils.profiling import RenderStats
+
+
+@dataclass
+class RenderUpdate:
+    progress: float
+    image: Image | None = None
+    samples_done: int = 0
+    stats: RenderStats | None = None
+
+
+@dataclass
+class RenderDone:
+    image: Image
+    duration: float
+    stats: RenderStats = field(default_factory=RenderStats)
+    ppm_path: str | None = None
+    cancelled: bool = False
+
+
+# Target wavefront width per dispatch (lanes). ~2M lanes ≈ 160 MB of carried
+# scan state in HBM — small vs. 16 GB, big enough to saturate the chip.
+DEFAULT_LANE_BUDGET = 2 * 1024 * 1024
+
+
+def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
+    """Pack + upload scene buffers, with precomputed triangle coefficients."""
+    packed = pack_scene(scene)
+    bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
+    if mode in ("fast", "auto"):
+        bufs["tri_coeffs"] = triangle_coeffs(bufs["tri_v"])
+    return bufs
+
+
+def _pick_samples_per_pass(npix: int, spp: int, budget: int) -> int:
+    k = max(1, budget // max(npix, 1))
+    return min(k, spp)
+
+
+def render(
+    scene: SceneDescriptor,
+    config: RenderConfig,
+    *,
+    progress: Callable[[RenderUpdate], None] | None = None,
+    progress_interval: float = 0.5,
+    progress_snapshots: bool = True,
+    cancel: Callable[[], bool] | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 0,
+    out_dir: str | None = "out",
+    device_buffers: dict | None = None,
+    verbose: bool = True,
+) -> RenderDone:
+    """Render a scene to completion (or cancellation). See module docstring."""
+    config = config.validated()
+    res = config.resolution
+    npix = res.num_pixels
+    spp = config.samples_per_pixel
+    mode = "fast" if config.backend in ("auto", "mxu", "fast") else config.backend
+
+    if verbose:
+        print(
+            f"Rendering scene {scene.id} ({len(scene.objects)} objects), "
+            f"{spp} samples per pixel, {res.width}x{res.height} resolution"
+        )
+
+    t_start = time.perf_counter()
+    scene_bufs = device_buffers or prepare_scene(scene, mode)
+    cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
+    base_key = rng.root_key(config.seed)
+
+    k = config.samples_per_pass or _pick_samples_per_pass(
+        npix, spp, DEFAULT_LANE_BUDGET
+    )
+    full_passes, remainder = divmod(spp, k)
+
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    samples_done = 0
+    pass_start = 0
+    stats = RenderStats()
+
+    # ---- resume ----
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if (
+            int(ck["seed"]) == config.seed
+            and int(ck["spp"]) == spp
+            and int(ck["npix"]) == npix
+            and int(ck["k"]) == k
+        ):
+            accum = jnp.asarray(ck["accum"])
+            samples_done = int(ck["samples_done"])
+            pass_start = int(ck["next_pass"])
+            stats.num_rays = int(ck["num_rays"])
+            if verbose:
+                print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp")
+
+    def run_pass(accum, pass_idx: int, k_pass: int):
+        return integrator.render_pass(
+            scene_bufs,
+            cam,
+            accum,
+            jnp.int32(pass_idx),
+            base_key,
+            width=res.width,
+            height=res.height,
+            samples_in_pass=k_pass,
+            max_depth=config.max_depth,
+            rr_start_depth=config.rr_start_depth,
+            mode=mode,
+        )
+
+    last_update = 0.0
+    cancelled = False
+
+    def maybe_progress(force: bool = False):
+        nonlocal last_update
+        if progress is None:
+            return
+        now = time.perf_counter()
+        if not force and now - last_update < progress_interval:
+            return
+        last_update = now
+        img = None
+        if progress_snapshots and samples_done > 0:
+            partial = integrator.finalize(accum, samples_done)
+            img = Image.new(np.asarray(partial), res)
+        progress(
+            RenderUpdate(
+                progress=samples_done / spp,
+                image=img,
+                samples_done=samples_done,
+                stats=stats,
+            )
+        )
+
+    # ---- pass schedule: full passes of k samples, then one remainder pass ----
+    schedule = [(i, k) for i in range(pass_start, full_passes)]
+    if remainder:
+        schedule.append((full_passes, remainder))
+    # resume may land inside the remainder
+    schedule = [(i, kp) for (i, kp) in schedule if i >= pass_start]
+
+    for pass_idx, k_pass in schedule:
+        if cancel is not None and cancel():
+            if verbose:
+                print("Canceling render prematurely")
+            cancelled = True
+            break
+        accum, rays = run_pass(accum, pass_idx, k_pass)
+        samples_done += k_pass * 1  # per pixel
+        stats.num_rays += int(rays)
+        stats.num_samples += k_pass * npix
+        stats.num_dispatches += 1
+        maybe_progress()
+
+        if checkpoint_path and checkpoint_every and (
+            (pass_idx + 1) % checkpoint_every == 0
+        ):
+            accum.block_until_ready()
+            np.savez(
+                checkpoint_path,
+                accum=np.asarray(accum),
+                samples_done=samples_done,
+                next_pass=pass_idx + 1,
+                seed=config.seed,
+                spp=spp,
+                npix=npix,
+                k=k,
+                num_rays=stats.num_rays,
+            )
+
+    # ---- finalize ----
+    effective_spp = max(samples_done, 1)
+    final = integrator.finalize(accum, effective_spp)
+    final.block_until_ready()
+    duration = time.perf_counter() - t_start
+    stats.wall_seconds = duration
+
+    image = Image.new(np.asarray(final), res)
+    if verbose:
+        print("Rendering complete" if not cancelled else "Rendering cancelled")
+
+    ppm_path = None
+    if out_dir is not None:
+        ppm_path = write_ppm(image, scene.id, spp, duration, out_dir=out_dir)
+
+    if checkpoint_path and not cancelled and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+
+    maybe_progress(force=True)
+    return RenderDone(
+        image=image,
+        duration=duration,
+        stats=stats,
+        ppm_path=ppm_path,
+        cancelled=cancelled,
+    )
