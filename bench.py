@@ -1,0 +1,85 @@
+"""Headline benchmark: cornell.json 1024×768, Mrays/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1000 (the BASELINE.json target is 1 Gray/s/chip).
+
+Measures steady-state throughput: one warmup pass (compile + cache), then a
+timed run at fixed spp counting traced ray segments (sum of alive lanes per
+bounce — the standard Mrays/s definition).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.chdir(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.render import integrator
+    from path_tracer_tpu.render.pipeline import prepare_scene, _pick_samples_per_pass, DEFAULT_LANE_BUDGET
+    from path_tracer_tpu.render.raygen import camera_arrays
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    spp = int(os.environ.get("BENCH_SPP", "100"))
+    width, height = 1024, 768
+    npix = width * height
+
+    scene = pt.load_scene("cornell", "scenes")
+    cfg = RenderConfig(samples_per_pixel=spp, resolution=Resolution(height, width))
+    bufs = prepare_scene(scene)
+    cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
+    base_key = rng.root_key(0)
+
+    k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
+    n_passes = max(spp // k, 1)
+
+    def run_pass(accum, i):
+        return integrator.render_pass(
+            bufs, cam, accum, jnp.int32(i), base_key,
+            width=width, height=height, samples_in_pass=k,
+            max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
+            mode="fast",
+        )
+
+    # warmup/compile
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    accum, rays0 = run_pass(accum, 0)
+    accum.block_until_ready()
+
+    # timed steady-state
+    t0 = time.perf_counter()
+    total_rays = 0
+    rays_handles = []
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    for i in range(n_passes):
+        accum, rays = run_pass(accum, i)
+        rays_handles.append(rays)
+    accum.block_until_ready()
+    wall = time.perf_counter() - t0
+    total_rays = int(sum(int(r) for r in rays_handles))
+    total_samples = n_passes * k * npix
+
+    mrays = total_rays / wall / 1e6
+    print(
+        f"cornell {width}x{height} @ {n_passes * k} spp: {wall:.2f}s, "
+        f"{total_samples / wall / 1e6:.1f} Msamples/s, {mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "cornell_1024x768_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

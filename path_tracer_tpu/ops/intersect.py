@@ -41,6 +41,14 @@ from jax import lax
 
 EPS_SPHERE = 1e-4
 EPS_TRI_DET = 1e-4
+# Minimum accepted triangle-hit distance. The reference accepts any t > 0
+# (mod.rs:592) — but its hit points are f32-rounded onto either side of the
+# surface, so ~half of all bounces phantom-re-hit the departed triangle at
+# t≈0⁺, re-multiplying albedo and RE-ADDING emission (mesh lights get double
+# counted). That behaviour is rounding-dependent and unreproducible by
+# design; we use the sphere path's epsilon (1e-4, matching mod.rs:414) for an
+# unbiased, implementation-independent estimator. See tests/test_integrator.
+EPS_TRI_T = 1e-4
 INF = jnp.float32(jnp.inf)
 
 _PRECISION = lax.Precision.HIGHEST
@@ -65,6 +73,7 @@ class Hit(NamedTuple):
     emission: jax.Array  # [R,3]
     rtype: jax.Array  # [R] i32 ReflectType
     obj: jax.Array  # [R] i32 original object index (-1 = miss)
+    tri: jax.Array  # [R] i32 packed triangle index of the hit (-1 = sphere/miss)
 
 
 # ---------------------------------------------------------------------------
@@ -122,7 +131,7 @@ def triangle_distances_exact(o, d, tri_v):
     v = _dot(d[:, None, :], qvec) * inv_det
     valid &= (v >= 0.0) & (u + v <= 1.0)
     t = _dot(e2[None, :, :], qvec) * inv_det
-    valid &= t > 0.0
+    valid &= t > EPS_TRI_T
     return jnp.where(valid, t, INF)
 
 
@@ -158,7 +167,7 @@ def triangle_distances_fast(o, d, coeffs):
     u = udet * inv_det
     v = vdet * inv_det
     t = tdet * inv_det
-    valid &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+    valid &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS_TRI_T)
     return jnp.where(valid, t, INF)
 
 
@@ -173,12 +182,20 @@ def _first_min(t):
     return jnp.take_along_axis(t, i[:, None], axis=1)[:, 0], i
 
 
-def intersect_scene(o, d, scene: dict, mode: str = "fast") -> Hit:
+def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit:
     """Closest hit of rays (o,d) against a packed scene (ScenePacked.buffers()
     as jnp arrays, optionally with precomputed 'tri_coeffs').
 
     Reproduces intersect_scene + SceneObjectData::intersect semantics
     including the mesh bounding-sphere pre-test mask.
+
+    prev_tri [R] i32 (optional): packed triangle index each ray departed from
+    (-1 = none); that triangle is excluded. A ray leaving a flat triangle can
+    never legitimately re-hit it, but in f32 the plane equation cancels
+    catastrophically at the origin and produces phantom t≈0⁺ self-hits ~half
+    the time (each one darkens the path by an extra albedo factor — a ~20%
+    energy loss in the Cornell box). Exclusion is the exact fix. Spheres are
+    never excluded: re-hits there are real (glass interior bounces).
     """
     sphere_fn = sphere_distances_fast if mode == "fast" else sphere_distances_exact
 
@@ -200,6 +217,10 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast") -> Hit:
     else:
         t_tri = triangle_distances_exact(o, d, scene["tri_v"])
     t_tri = jnp.where(tri_gate, t_tri, INF)
+    if prev_tri is not None:
+        T = t_tri.shape[1]
+        tri_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
+        t_tri = jnp.where(tri_ids == prev_tri[:, None], INF, t_tri)
     d_t, i_t = _first_min(t_tri)
 
     # Merge: strictly-closer wins; on exact ties, smaller reverse-scan rank
@@ -227,6 +248,7 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast") -> Hit:
     emission = pick(scene["sph_emis"], scene["tri_emis"])
     rtype = pick(scene["sph_rtype"], scene["tri_rtype"])
     obj = jnp.where(found, pick(scene["sph_obj"], scene["tri_obj"]), -1)
+    tri = jnp.where(found & ~sph_wins, i_t.astype(jnp.int32), -1)
 
     # Sanitize miss lanes (t=inf would poison point/normal with nan/inf).
     point = jnp.where(found[:, None], point, 0.0)
@@ -240,6 +262,7 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast") -> Hit:
         emission=emission,
         rtype=rtype,
         obj=obj,
+        tri=tri,
     )
 
 

@@ -1,0 +1,190 @@
+"""Sharded rendering over a device mesh.
+
+Maps the ray megabatch onto a 2D ``Mesh(dp, sp)``:
+
+- the pixel axis is sharded over ``dp`` (each device owns a contiguous
+  framebuffer tile; zero communication),
+- the sample axis is sharded over ``sp`` (each device traces a subset of each
+  pixel's samples; one ``psum`` over ICI merges the partial sums).
+
+RNG streams are decorrelated per (pass, dp-shard, sp-shard), so images are
+deterministic for a fixed (seed, chunking, mesh topology).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from path_tracer_tpu.models.scene import SceneDescriptor
+from path_tracer_tpu.ops import rng
+from path_tracer_tpu.render import integrator
+from path_tracer_tpu.render.pipeline import RenderDone, prepare_scene, render
+from path_tracer_tpu.utils.config import RenderConfig
+
+
+def _factor_mesh(n: int, sample_parallel: int | None) -> tuple[int, int]:
+    """Choose (dp, sp) with dp*sp = n. Default: all data-parallel."""
+    if sample_parallel is None:
+        return n, 1
+    if n % sample_parallel:
+        raise ValueError(f"sample_parallel={sample_parallel} must divide {n}")
+    return n // sample_parallel, sample_parallel
+
+
+def make_mesh(num_devices: int = 0, sample_parallel: int | None = None) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} devices, have {len(devices)}")
+    dp, sp = _factor_mesh(n, sample_parallel)
+    return Mesh(np.asarray(devices[:n]).reshape(dp, sp), axis_names=("dp", "sp"))
+
+
+def make_sharded_pass(
+    mesh: Mesh,
+    *,
+    width: int,
+    height: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    mode: str = "fast",
+) -> Callable:
+    """Build a pass runner shard_map'ed over the mesh.
+
+    Signature matches pipeline.render's pass_runner:
+    (scene_bufs, cam, accum, pass_idx, k_pass, base_key) -> (accum, rays).
+    accum is [npix_padded, 3], sharded over dp on axis 0.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+
+    def _local_pass(k_pass, scene_bufs, cam, accum_local, pass_idx, base_key):
+        # inside shard_map: accum_local is this device's pixel tile
+        npix_local = accum_local.shape[0]
+        dp_idx = lax.axis_index("dp")
+        sp_idx = lax.axis_index("sp")
+
+        k_local = k_pass // sp
+        pix_base = dp_idx * npix_local
+        pixel_idx = (
+            jnp.repeat(jnp.arange(npix_local, dtype=jnp.int32), k_local) + pix_base
+        )
+        sample_idx = (
+            jnp.tile(jnp.arange(k_local, dtype=jnp.int32), npix_local)
+            + pass_idx * k_pass
+            + sp_idx * k_local
+        )
+        # decorrelated stream per (pass, dp, sp)
+        key = rng.chunk_key(base_key, (pass_idx * sp + sp_idx) * dp + dp_idx)
+
+        res = integrator.render_samples(
+            scene_bufs,
+            cam,
+            pixel_idx,
+            sample_idx,
+            key,
+            width=width,
+            height=height,
+            max_depth=max_depth,
+            rr_start_depth=rr_start_depth,
+            mode=mode,
+        )
+        partial_sum = res.radiance.reshape(npix_local, k_local, 3).sum(axis=1)
+        # merge sample shards over ICI; dp tiles stay put
+        accum_local = accum_local + lax.psum(partial_sum, "sp")
+        rays = lax.psum(res.rays_traced, ("dp", "sp"))
+        return accum_local, rays
+
+    @partial(jax.jit, static_argnames=("k_pass",), donate_argnames=("accum",))
+    def pass_fn(scene_bufs, cam, accum, pass_idx, base_key, k_pass: int):
+        sharded = jax.shard_map(
+            partial(_local_pass, k_pass),
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp", None), P(), P()),
+            out_specs=(P("dp", None), P()),
+            # the integrator's scan carry starts unvarying (fresh zeros) and
+            # becomes device-varying after step 1 — skip the static VMA check
+            check_vma=False,
+        )
+        return sharded(scene_bufs, cam, accum, pass_idx, base_key)
+
+    def runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
+        if k_pass % sp:
+            raise ValueError(
+                f"samples per pass ({k_pass}) must be divisible by sp={sp}"
+            )
+        return pass_fn(
+            scene_bufs, cam, accum, jnp.int32(pass_idx), base_key, k_pass
+        )
+
+    return runner
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def render_sharded(
+    scene: SceneDescriptor,
+    config: RenderConfig,
+    *,
+    num_devices: int = 0,
+    sample_parallel: int | None = None,
+    mesh: Mesh | None = None,
+    **kw,
+) -> RenderDone:
+    """Multi-device render: pipeline.render with a shard_map'ed pass.
+
+    The framebuffer is padded so the pixel axis divides dp; padding pixels
+    trace real rays pointing at pixel 0 (cheap, simple, correct after crop).
+    """
+    mesh = mesh or make_mesh(num_devices, sample_parallel)
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    res = config.resolution
+    npix = res.num_pixels
+    npix_pad = _round_up(npix, dp)
+    mode = "fast" if config.backend in ("auto", "mxu", "fast") else config.backend
+
+    # sample chunking must divide by sp
+    k = config.samples_per_pass
+    if not k:
+        from path_tracer_tpu.render.pipeline import (
+            DEFAULT_LANE_BUDGET,
+            _pick_samples_per_pass,
+        )
+
+        k = _pick_samples_per_pass(npix_pad, config.samples_per_pixel, DEFAULT_LANE_BUDGET)
+    k = max(_round_up(k, sp), sp)
+    spp = _round_up(config.samples_per_pixel, k)  # whole passes only
+    config = config.with_(samples_per_pass=k, samples_per_pixel=spp)
+
+    runner = make_sharded_pass(
+        mesh,
+        width=res.width,
+        height=res.height,
+        max_depth=config.max_depth,
+        rr_start_depth=config.rr_start_depth,
+        mode=mode,
+    )
+
+    scene_bufs = prepare_scene(scene, mode)
+    sharding = NamedSharding(mesh, P("dp", None))
+    accum0 = jax.device_put(jnp.zeros((npix_pad, 3), jnp.float32), sharding)
+    replicate = NamedSharding(mesh, P())
+    scene_bufs = jax.device_put(scene_bufs, replicate)
+
+    return render(
+        scene,
+        config,
+        device_buffers=scene_bufs,
+        pass_runner=runner,
+        accum_init=accum0,
+        **kw,
+    )

@@ -56,12 +56,13 @@ def trace(
     thr = jnp.ones((n, 3), jnp.float32)
     acc = jnp.zeros((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
+    prev_tri = jnp.full((n,), -1, jnp.int32)
 
     def step(carry, s):
-        o, d, thr, acc, alive = carry
+        o, d, thr, acc, alive, prev_tri = carry
         n_alive = jnp.sum(alive.astype(jnp.int32))
 
-        hit = intersect_scene(o, d, scene, mode=mode)
+        hit = intersect_scene(o, d, scene, mode=mode, prev_tri=prev_tri)
         found = hit.found & alive
 
         nd = jnp.sum(hit.normal * d, axis=-1)
@@ -93,12 +94,17 @@ def trace(
         o_new = jnp.where(alive_new[:, None], hit.point, o)
         d_new = jnp.where(alive_new[:, None], bs.direction, d)
         thr_new = jnp.where(alive_new[:, None], thr_new, 0.0)
+        # Exclude the departed triangle next step — but NOT for refraction
+        # lanes passing through the surface (they must be able to hit the
+        # triangle's plane again from the other side... they can't: a flat
+        # triangle is crossed once; keep exclusion unconditionally).
+        prev_tri_new = hit.tri
 
-        return (o_new, d_new, thr_new, acc, alive_new), n_alive
+        return (o_new, d_new, thr_new, acc, alive_new, prev_tri_new), n_alive
 
-    (_, _, _, acc, _), alive_counts = lax.scan(
+    (_, _, _, acc, _, _), alive_counts = lax.scan(
         step,
-        (o, d, thr, acc, alive),
+        (o, d, thr, acc, alive, prev_tri),
         jnp.arange(max_depth, dtype=jnp.int32),
         unroll=unroll,
     )

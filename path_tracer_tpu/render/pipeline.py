@@ -81,6 +81,8 @@ def render(
     checkpoint_every: int = 0,
     out_dir: str | None = "out",
     device_buffers: dict | None = None,
+    pass_runner: Callable | None = None,
+    accum_init=None,
     verbose: bool = True,
 ) -> RenderDone:
     """Render a scene to completion (or cancellation). See module docstring."""
@@ -106,7 +108,7 @@ def render(
     )
     full_passes, remainder = divmod(spp, k)
 
-    accum = jnp.zeros((npix, 3), jnp.float32)
+    accum = accum_init if accum_init is not None else jnp.zeros((npix, 3), jnp.float32)
     samples_done = 0
     pass_start = 0
     stats = RenderStats()
@@ -128,6 +130,8 @@ def render(
                 print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp")
 
     def run_pass(accum, pass_idx: int, k_pass: int):
+        if pass_runner is not None:
+            return pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key)
         return integrator.render_pass(
             scene_bufs,
             cam,
@@ -156,7 +160,8 @@ def render(
         img = None
         if progress_snapshots and samples_done > 0:
             partial = integrator.finalize(accum, samples_done)
-            img = Image.new(np.asarray(partial), res)
+            # accum may be padded beyond the framebuffer (sharded execution)
+            img = Image.new(np.asarray(partial)[:npix], res)
         progress(
             RenderUpdate(
                 progress=samples_done / spp,
@@ -209,7 +214,7 @@ def render(
     duration = time.perf_counter() - t_start
     stats.wall_seconds = duration
 
-    image = Image.new(np.asarray(final), res)
+    image = Image.new(np.asarray(final)[:npix], res)
     if verbose:
         print("Rendering complete" if not cancelled else "Rendering cancelled")
 

@@ -1,0 +1,128 @@
+"""End-to-end pipeline tests on the CPU backend."""
+
+import os
+
+import numpy as np
+import pytest
+
+import path_tracer_tpu as pt
+from path_tracer_tpu.render.image import Image, read_ppm, write_ppm
+from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+
+def _cfg(res=24, spp=8, **kw):
+    return RenderConfig(
+        samples_per_pixel=spp, resolution=Resolution(res, res * 3 // 2), **kw
+    )
+
+
+def test_render_two_spheres(all_scenes, tmp_path):
+    done = pt.render(all_scenes["two-spheres"], _cfg(), out_dir=str(tmp_path),
+                     verbose=False)
+    assert not done.cancelled
+    img = done.image.pixels
+    assert img.shape == (24 * 36, 3)
+    assert img.max() <= 1.0 and img.min() >= 0.0
+    assert img.max() > 0.5  # emissive sphere visible
+    assert done.stats.num_rays > 0
+    assert os.path.exists(done.ppm_path)
+
+
+def test_render_deterministic_same_seed(all_scenes):
+    r1 = pt.render(all_scenes["cornell"], _cfg(16, 4, seed=3), out_dir=None,
+                   verbose=False)
+    r2 = pt.render(all_scenes["cornell"], _cfg(16, 4, seed=3), out_dir=None,
+                   verbose=False)
+    np.testing.assert_array_equal(r1.image.pixels, r2.image.pixels)
+    assert r1.image.hash == r2.image.hash
+    r3 = pt.render(all_scenes["cornell"], _cfg(16, 4, seed=4), out_dir=None,
+                   verbose=False)
+    assert not np.array_equal(r1.image.pixels, r3.image.pixels)
+
+
+def test_progress_and_cancel(all_scenes):
+    updates = []
+    done = pt.render(
+        all_scenes["two-spheres"],
+        _cfg(16, 16).with_(samples_per_pass=4),
+        out_dir=None,
+        progress=lambda u: updates.append(u),
+        progress_interval=0.0,
+        verbose=False,
+    )
+    assert len(updates) >= 4
+    assert updates[-1].progress == 1.0
+    assert updates[-1].image is not None
+
+    # cancel after the first pass: partial image still returned (parity §3.3)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 1
+
+    done = pt.render(
+        all_scenes["two-spheres"],
+        _cfg(16, 16).with_(samples_per_pass=4),
+        out_dir=None,
+        cancel=cancel,
+        verbose=False,
+    )
+    assert done.cancelled
+    assert done.image.pixels.max() > 0  # partial content present
+
+
+def test_checkpoint_resume_bit_exact(all_scenes, tmp_path):
+    ck = str(tmp_path / "ck.npz")
+    cfg = _cfg(16, 16, seed=11).with_(samples_per_pass=4)
+
+    full = pt.render(all_scenes["two-spheres"], cfg, out_dir=None, verbose=False)
+
+    # interrupt after 2 passes, then resume from checkpoint
+    calls = {"n": 0}
+    pt.render(
+        all_scenes["two-spheres"], cfg, out_dir=None, verbose=False,
+        checkpoint_path=ck, checkpoint_every=1,
+        cancel=lambda: calls.__setitem__("n", calls["n"] + 1) or calls["n"] > 2,
+    )
+    assert os.path.exists(ck)
+    resumed = pt.render(
+        all_scenes["two-spheres"], cfg, out_dir=None, verbose=False,
+        checkpoint_path=ck,
+    )
+    np.testing.assert_array_equal(resumed.image.pixels, full.image.pixels)
+    assert not os.path.exists(ck)  # cleared after completion
+
+
+def test_ppm_roundtrip(tmp_path):
+    g = np.random.default_rng(0)
+    pixels = g.uniform(0, 1, (12 * 18, 3)).astype(np.float32)
+    img = Image.new(pixels, Resolution(12, 18))
+    path = write_ppm(img, "t", 5, 1.25, out_dir=str(tmp_path), make_symlink=False)
+    vals, w, h = read_ppm(path)
+    assert (w, h) == (18, 12)
+    from path_tracer_tpu.ops.tonemap import quantize_np
+
+    np.testing.assert_array_equal(vals, quantize_np(pixels)[::-1])
+
+
+def test_ppm_header_format(tmp_path):
+    img = Image.new(np.zeros((6, 3), np.float32), Resolution(2, 3))
+    path = write_ppm(img, "sc", 7, 3.9, out_dir=str(tmp_path), make_symlink=False)
+    lines = open(path, "rb").read().split(b"\n")
+    assert lines[0] == b"P3"
+    assert lines[1] == b"# samplesPerPixel: 7, resolution_y: 2, scene_id: sc"
+    assert lines[2] == b"# rendering time: 3 s"
+    assert lines[3] == b"3 2"
+    assert lines[4] == b"255"
+    assert os.path.basename(path).endswith("-scene-sc-spp7-res2-.ppm")
+
+
+def test_image_hash_stability():
+    px = np.arange(30, dtype=np.float32).reshape(10, 3) / 30.0
+    h1 = Image.new(px, Resolution(2, 5)).hash
+    h2 = Image.new(px.copy(), Resolution(2, 5)).hash
+    assert h1 == h2
+    px2 = px.copy()
+    px2[0, 0] += 1e-6
+    assert Image.new(px2, Resolution(2, 5)).hash != h1
