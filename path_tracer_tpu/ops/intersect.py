@@ -182,6 +182,30 @@ def _first_min(t):
     return jnp.take_along_axis(t, i[:, None], axis=1)[:, 0], i
 
 
+def _first_min_onehot(t):
+    """(min value, first-wins one-hot mask [R,P] f32) along axis 1.
+
+    Per-lane gathers are slow on TPU (serial VPU scatter/gather); a one-hot
+    mask turns every winner-attribute read into a tiny [R,P]@[P,k] matmul on
+    the MXU instead. Ties resolve to the first (lowest) index, matching
+    argmin and the reference's reverse-scan tie-break (see pack_scene).
+    """
+    tmin = jnp.min(t, axis=1)
+    eq = t == tmin[:, None]
+    first = jnp.cumsum(eq.astype(jnp.int32), axis=1) == 1
+    onehot = (eq & first).astype(jnp.float32)
+    # all-inf rows (miss): eq is all-True, onehot picks column 0 — harmless,
+    # callers gate everything on found = isfinite(tmin).
+    return tmin, onehot
+
+
+def _read(onehot, table):
+    """Winner-attribute read via one-hot matmul. table [P] or [P,k]."""
+    t2 = table[:, None] if table.ndim == 1 else table
+    out = jnp.matmul(onehot, t2.astype(jnp.float32), precision=_PRECISION)
+    return out[:, 0] if table.ndim == 1 else out
+
+
 def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit:
     """Closest hit of rays (o,d) against a packed scene (ScenePacked.buffers()
     as jnp arrays, optionally with precomputed 'tri_coeffs').
@@ -201,12 +225,12 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit
 
     # Spheres
     t_sph = sphere_fn(o, d, scene["sph_center"], scene["sph_radius"])  # [R,S]
-    d_s, i_s = _first_min(t_sph)
+    d_s, oh_s = _first_min_onehot(t_sph)
 
     # Mesh bounding-sphere pre-test: any root accepted == "is_some()"
     t_bnd = sphere_fn(o, d, scene["bnd_center"], scene["bnd_radius"])  # [R,M]
     pre_ok = jnp.isfinite(t_bnd)  # [R,M]
-    tri_gate = jnp.take(pre_ok, scene["tri_mesh"], axis=1)  # [R,T]
+    tri_gate = jnp.take(pre_ok, scene["tri_mesh"], axis=1)  # static indices
 
     # Triangles
     if mode == "fast":
@@ -221,34 +245,46 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit
         T = t_tri.shape[1]
         tri_ids = jnp.arange(T, dtype=jnp.int32)[None, :]
         t_tri = jnp.where(tri_ids == prev_tri[:, None], INF, t_tri)
-    d_t, i_t = _first_min(t_tri)
+    d_t, oh_t = _first_min_onehot(t_tri)
 
     # Merge: strictly-closer wins; on exact ties, smaller reverse-scan rank
     # (the packed `order`) wins — reference reverse-object-scan semantics.
-    order_s = jnp.take(scene["sph_order"], i_s)
-    order_t = jnp.take(scene["tri_order"], i_t)
+    order_s = _read(oh_s, scene["sph_order"].astype(jnp.float32))
+    order_t = _read(oh_t, scene["tri_order"].astype(jnp.float32))
     sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < order_t))
 
     t = jnp.where(sph_wins, d_s, d_t)
     found = jnp.isfinite(t)
     point = o + d * t[:, None]
 
-    sph_n = point - jnp.take(scene["sph_center"], i_s, axis=0)
+    sph_n = point - _read(oh_s, scene["sph_center"])
     sph_n = sph_n * lax.rsqrt(jnp.maximum(_dot(sph_n, sph_n), 1e-30))[:, None]
-    tri_n = jnp.take(scene["tri_normal"], i_t, axis=0)
+    tri_n = _read(oh_t, scene["tri_normal"])
     normal = jnp.where(sph_wins[:, None], sph_n, tri_n)
 
     def pick(sph_tab, tri_tab):
-        a = jnp.take(sph_tab, i_s, axis=0)
-        b = jnp.take(tri_tab, i_t, axis=0)
+        a = _read(oh_s, sph_tab)
+        b = _read(oh_t, tri_tab)
         cond = sph_wins[:, None] if a.ndim == 2 else sph_wins
         return jnp.where(cond, a, b)
 
     color = pick(scene["sph_color"], scene["tri_color"])
     emission = pick(scene["sph_emis"], scene["tri_emis"])
-    rtype = pick(scene["sph_rtype"], scene["tri_rtype"])
-    obj = jnp.where(found, pick(scene["sph_obj"], scene["tri_obj"]), -1)
-    tri = jnp.where(found & ~sph_wins, i_t.astype(jnp.int32), -1)
+    # rtype/obj/tri ride one-hot reads too (values small → f32-exact)
+    rtype = pick(
+        scene["sph_rtype"].astype(jnp.float32), scene["tri_rtype"].astype(jnp.float32)
+    ).astype(jnp.int32)
+    obj = jnp.where(
+        found,
+        pick(
+            scene["sph_obj"].astype(jnp.float32), scene["tri_obj"].astype(jnp.float32)
+        ).astype(jnp.int32),
+        -1,
+    )
+    i_t = _read(
+        oh_t, jnp.arange(t_tri.shape[1], dtype=jnp.float32)
+    ).astype(jnp.int32)
+    tri = jnp.where(found & ~sph_wins, i_t, -1)
 
     # Sanitize miss lanes (t=inf would poison point/normal with nan/inf).
     point = jnp.where(found[:, None], point, 0.0)

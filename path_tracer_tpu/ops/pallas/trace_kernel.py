@@ -1,0 +1,427 @@
+"""Pallas TPU megakernel: the full wavefront trace loop fused on-chip.
+
+The XLA-composed integrator (render.integrator.trace) materializes [N,*]
+temporaries in HBM between fused ops — ~50 ms per bounce per 1.5M rays. This
+kernel keeps EVERYTHING in VMEM/registers for all bounces: per block of
+``B`` rays it runs the complete 12-bounce loop (intersect → merge → RR →
+BSDF sample → state update), so HBM traffic is just rays in (24 B/ray) and
+radiance out (12 B/ray). Scene tables (a few KB) are VMEM-resident.
+
+Layout: rays ride the LANE axis (minor, 128-aligned); primitives ride the
+SUBLANE axis. Per-ray state is [1,B]; per-(prim,ray) temporaries are [P,B].
+All math is f32 (geometry needs the mantissa; bf16 is ~3 digits).
+
+RNG: the per-core hardware PRNG (pltpu.prng_seed / prng_random_bits), seeded
+per (seed, block id) — deterministic for a fixed layout, the Pallas analog
+of the integrator's counter-based threefry.
+
+Semantics match ops.intersect + ops.bsdf + render.integrator exactly
+(same epsilons, reverse-scan tie-break via packed order, bounding-sphere
+pre-test, prev-triangle exclusion, RR constants) — validated statistically
+against the XLA integrator in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_tracer_tpu.models.scene import ScenePacked
+
+F32 = jnp.float32
+EPS_SPHERE = 1e-4
+EPS_TRI_DET = 1e-4
+EPS_TRI_T = 1e-4
+BIG = 3.0e38  # ~f32 max: "miss" sentinel (inf-free math inside the kernel)
+
+DEFAULT_BLOCK = 512
+
+
+def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths, constant_values=fill)
+
+
+def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
+    """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
+    sublane multiples using guaranteed-miss entries; plus the [M,T] 0/1 gate
+    matrix mapping mesh bounding spheres to their triangles."""
+    S = max(((packed.num_spheres + pad - 1) // pad) * pad, pad)
+    T = max(((packed.num_triangles + pad - 1) // pad) * pad, pad)
+    M = max(((packed.num_meshes + pad - 1) // pad) * pad, pad)
+
+    def prep(x, P, fill=0.0):
+        x = np.asarray(x, np.float32)
+        x = x[None, :] if x.ndim == 1 else x.T  # [P,k] -> [k,P]
+        return _pad_to(x, P, 1, fill)
+
+    sc = packed
+    import path_tracer_tpu.ops.intersect as intersect_ops
+
+    coeffs = jax.tree.map(
+        np.asarray, intersect_ops.triangle_coeffs(jnp.asarray(sc.tri_v))
+    )
+
+    gate = np.zeros((M, T), np.float32)
+    for t in range(sc.num_triangles):
+        gate[sc.tri_mesh[t], t] = 1.0
+
+    order_fill = 1.0e9
+    bufs = {
+        "sph_center": prep(sc.sph_center, S, 1e30),
+        "sph_rad2": prep(np.asarray(sc.sph_radius) ** 2, S),
+        "sph_color": prep(sc.sph_color, S),
+        "sph_emis": prep(sc.sph_emis, S),
+        "sph_rtype": prep(sc.sph_rtype.astype(np.float32), S),
+        "sph_order": prep(
+            np.minimum(sc.sph_order, 2**24).astype(np.float32), S, order_fill
+        ),
+        "bnd_center": prep(sc.bnd_center, M, 1e30),
+        "bnd_rad2": prep(np.asarray(sc.bnd_radius) ** 2, M),
+        "gate": gate,
+        "tri_n": prep(coeffs["n"], T),
+        "tri_e1": prep(coeffs["e1"], T),
+        "tri_e2": prep(coeffs["e2"], T),
+        "tri_e2xa": prep(coeffs["e2xa"], T),
+        "tri_axe1": prep(coeffs["axe1"], T),
+        "tri_na": prep(coeffs["na"], T),
+        "tri_normal": prep(sc.tri_normal, T),
+        "tri_color": prep(sc.tri_color, T),
+        "tri_emis": prep(sc.tri_emis, T),
+        "tri_rtype": prep(sc.tri_rtype.astype(np.float32), T),
+        "tri_order": prep(
+            np.minimum(sc.tri_order, 2**24).astype(np.float32), T, order_fill
+        ),
+    }
+    return {k: jnp.asarray(v) for k, v in bufs.items()}
+
+
+def _uniform(shape):
+    """Hardware PRNG bits → uniform f32 in [0,1)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _first_min_sublane(t, idx):
+    """[P,B] distances + [P,B] index iota → (min [1,B], one-hot [P,B]).
+    First-wins tie-break via a second min over the tying indices."""
+    tmin = jnp.min(t, axis=0, keepdims=True)
+    eq = t == tmin
+    imin = jnp.min(jnp.where(eq, idx, BIG), axis=0, keepdims=True)
+    return tmin, (idx == imin).astype(jnp.float32)
+
+
+def _sphere_t(cen, rad2, o, d):
+    """centers 3x[S,1], rad2 [S,1], rays 3x[1,B] → t [S,B] (BIG = miss)."""
+    cd = sum(cen[k] * d[k] for k in range(3))
+    co = sum(cen[k] * o[k] for k in range(3))
+    cc = sum(cen[k] * cen[k] for k in range(3))
+    od = sum(o[k] * d[k] for k in range(3))
+    oo = sum(o[k] * o[k] for k in range(3))
+    b = cd - od
+    det = b * b - (cc - 2.0 * co + oo) + rad2
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    t_near = b - sq
+    t_far = b + sq
+    t = jnp.where(
+        t_near >= EPS_SPHERE, t_near, jnp.where(t_far >= EPS_SPHERE, t_far, BIG)
+    )
+    return jnp.where(det < 0.0, BIG, t)
+
+
+def _make_kernel(S, M, T, B, max_depth, rr_start_depth):
+    PI = np.float32(np.pi)
+    R0 = np.float32((1.5 - 1.0) ** 2 / (1.5 + 1.0) ** 2)
+
+    def kernel(
+        seed_ref,
+        o_ref, d_ref,
+        sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
+        bnd_center, bnd_rad2, gate,
+        tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
+        tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
+        rad_ref, count_ref,
+    ):
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(2654435761))
+
+        def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
+            return ref[k, :][:, None]
+
+        # per-ray state: lists of [1,B]
+        o = [o_ref[k, :][None, :] for k in range(3)]
+        d = [d_ref[k, :][None, :] for k in range(3)]
+        one = jnp.ones((1, B), jnp.float32)
+        thr = [one, one, one]
+        zero = jnp.zeros((1, B), jnp.float32)
+        acc = [zero, zero, zero]
+        alive = jnp.ones((1, B), jnp.bool_)
+        prev = jnp.full((1, B), -1.0, jnp.float32)
+        counts = zero
+
+        sphc = [tcol(sph_center, k) for k in range(3)]
+        bndc = [tcol(bnd_center, k) for k in range(3)]
+        sph_r2 = sph_rad2[0, :][:, None]
+        bnd_r2 = bnd_rad2[0, :][:, None]
+        tri_na_c = tri_na[0, :][:, None]
+        sph_idx = jax.lax.broadcasted_iota(jnp.float32, (S, B), 0)
+        tri_idx = jax.lax.broadcasted_iota(jnp.float32, (T, B), 0)
+
+        def body(s, carry):
+            o, d, thr, acc, alive, prev, counts = carry
+            counts = counts + alive.astype(jnp.float32)
+
+            # --- spheres + bounding pre-test ---
+            t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
+            t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
+            pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
+            tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
+                gate, pre_ok, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            # --- triangles (affine feature form) ---
+            m = [
+                o[1] * d[2] - o[2] * d[1],
+                o[2] * d[0] - o[0] * d[2],
+                o[0] * d[1] - o[1] * d[0],
+            ]
+
+            def dotT(tab, vec):  # [3,T] x 3x[1,B] -> [T,B]
+                return (
+                    tcol(tab, 0) * vec[0]
+                    + tcol(tab, 1) * vec[1]
+                    + tcol(tab, 2) * vec[2]
+                )
+
+            det = -dotT(tri_n, d)
+            udet = dotT(tri_e2, m) - dotT(tri_e2xa, d)
+            vdet = -dotT(tri_e1, m) - dotT(tri_axe1, d)
+            tdet = dotT(tri_n, o) - tri_na_c
+
+            dvalid = jnp.abs(det) >= EPS_TRI_DET
+            inv = 1.0 / jnp.where(dvalid, det, 1.0)
+            u_ = udet * inv
+            v_ = vdet * inv
+            t_ = tdet * inv
+            valid = (
+                dvalid
+                & (u_ >= 0.0) & (u_ <= 1.0)
+                & (v_ >= 0.0) & (u_ + v_ <= 1.0)
+                & (t_ > EPS_TRI_T)
+                & (tri_ok > 0.0)
+                & (tri_idx != prev)
+            )
+            t_tri = jnp.where(valid, t_, BIG)
+
+            d_s, oh_s = _first_min_sublane(t_sph, sph_idx)
+            d_t, oh_t = _first_min_sublane(t_tri, tri_idx)
+
+            def read_s(tab, k):  # [1,B]
+                return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
+
+            def read_t(tab, k):
+                return jnp.sum(tcol(tab, k) * oh_t, axis=0, keepdims=True)
+
+            order_s = read_s(sph_order, 0)
+            order_t = read_t(tri_order, 0)
+            sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < order_t))
+            t = jnp.where(sph_wins, d_s, d_t)
+            found = (t < BIG) & alive
+
+            point = [o[k] + d[k] * t for k in range(3)]
+            sn = [point[k] - read_s(sph_center, k) for k in range(3)]
+            sl = jax.lax.rsqrt(
+                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+            )
+            nrm = [
+                jnp.where(sph_wins, sn[k] * sl, read_t(tri_normal, k))
+                for k in range(3)
+            ]
+            color = [
+                jnp.where(sph_wins, read_s(sph_color, k), read_t(tri_color, k))
+                for k in range(3)
+            ]
+            emis = [
+                jnp.where(sph_wins, read_s(sph_emis, k), read_t(tri_emis, k))
+                for k in range(3)
+            ]
+            rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), read_t(tri_rtype, 0))
+            tri_id = jnp.sum(tri_idx * oh_t, axis=0, keepdims=True)
+            new_prev = jnp.where(found & ~sph_wins, tri_id, -1.0)
+
+            nd = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+            to_ray = nd < 0.0
+            nl = [jnp.where(to_ray, nrm[k], -nrm[k]) for k in range(3)]
+
+            # --- randomness for this bounce ---
+            u = _uniform((8, B))  # 8 sublanes (tile-aligned); rows 0-3 used
+            u_rr = u[0, :][None, :]
+            u1 = u[1, :][None, :]
+            u2 = u[2, :][None, :]
+            u_br = u[3, :][None, :]
+
+            # --- Russian roulette (mod.rs:676-683) ---
+            max_refl = jnp.maximum(color[0], jnp.maximum(color[1], color[2]))
+            new_depth = s + 1
+            rr_on = new_depth > rr_start_depth
+            survive = (u_rr < max_refl) & (new_depth < max_depth)
+            die_rr = rr_on & ~survive
+            scale = jnp.where(
+                rr_on & survive, 1.0 / jnp.maximum(max_refl, 1e-30), 1.0
+            )
+
+            fm = found.astype(jnp.float32)
+            acc = [acc[k] + thr[k] * emis[k] * fm for k in range(3)]
+
+            # --- BSDF lanes ---
+            # diffuse: cosine-weighted around nl (mod.rs:687-715)
+            r1 = 2.0 * PI * u1
+            r2s = jnp.sqrt(u2)
+            w = nl
+            use_y = jnp.abs(w[0]) > 0.1
+            upx = jnp.where(use_y, 0.0, 1.0)
+            upy = jnp.where(use_y, 1.0, 0.0)
+            ux = upy * w[2]
+            uy = -upx * w[2]
+            uz = upx * w[1] - upy * w[0]
+            ul = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+            ux, uy, uz = ux * ul, uy * ul, uz * ul
+            vx = w[1] * uz - w[2] * uy
+            vy = w[2] * ux - w[0] * uz
+            vz = w[0] * uy - w[1] * ux
+            cr1 = jnp.cos(r1) * r2s
+            sr1 = jnp.sin(r1) * r2s
+            wz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+            dd0 = ux * cr1 + vx * sr1 + w[0] * wz
+            dd1 = uy * cr1 + vy * sr1 + w[1] * wz
+            dd2 = uz * cr1 + vz * sr1 + w[2] * wz
+            dl = jax.lax.rsqrt(jnp.maximum(dd0 * dd0 + dd1 * dd1 + dd2 * dd2, 1e-30))
+            d_diff = [dd0 * dl, dd1 * dl, dd2 * dl]
+
+            # specular mirror
+            d_spec = [d[k] - nrm[k] * 2.0 * nd for k in range(3)]
+
+            # refract (mod.rs:729-788; always-RR branch, weights Re/P, Tr/(1-P))
+            into = to_ray
+            nnt = jnp.where(into, np.float32(1.0 / 1.5), np.float32(1.5))
+            ddn = nl[0] * d[0] + nl[1] * d[1] + nl[2] * d[2]
+            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+            tir = cos2t < 0.0
+            tsc = ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))
+            td = [d[k] * nnt - nl[k] * tsc for k in range(3)]
+            tl = jax.lax.rsqrt(
+                jnp.maximum(td[0] ** 2 + td[1] ** 2 + td[2] ** 2, 1e-30)
+            )
+            td = [x * tl for x in td]
+            tdn = td[0] * nrm[0] + td[1] * nrm[1] + td[2] * nrm[2]
+            c_ = 1.0 - jnp.where(into, -ddn, tdn)
+            re = R0 + (1.0 - R0) * c_**5
+            p_ = 0.25 + 0.5 * re
+            pick_refl = (u_br < p_) | tir
+            d_refr = [jnp.where(pick_refl, d_spec[k], td[k]) for k in range(3)]
+            w_refr = jnp.where(
+                tir, 1.0, jnp.where(u_br < p_, re / p_, (1.0 - re) / (1.0 - p_))
+            )
+
+            is_diff = rtype < 0.5
+            is_spec = (rtype >= 0.5) & (rtype < 1.5)
+            d_new = [
+                jnp.where(
+                    is_diff, d_diff[k], jnp.where(is_spec, d_spec[k], d_refr[k])
+                )
+                for k in range(3)
+            ]
+            wgt = jnp.where(is_diff | is_spec, 1.0, w_refr)
+
+            thr_new = [thr[k] * color[k] * scale * wgt for k in range(3)]
+            thr_max = jnp.maximum(thr_new[0], jnp.maximum(thr_new[1], thr_new[2]))
+            alive_new = found & ~die_rr & (thr_max > 0.0)
+            am = alive_new.astype(jnp.float32)
+
+            o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
+            d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
+            thr = [thr_new[k] * am for k in range(3)]
+            return (o, d, thr, acc, alive_new, new_prev, counts)
+
+        carry = (o, d, thr, acc, alive, prev, counts)
+        o, d, thr, acc, alive, prev, counts = jax.lax.fori_loop(
+            0, max_depth, body, carry
+        )
+        rad_ref[0, :] = acc[0][0, :]
+        rad_ref[1, :] = acc[1][0, :]
+        rad_ref[2, :] = acc[2][0, :]
+        count_ref[0, :] = counts[0, :]
+
+    return kernel
+
+
+_SCENE_KEYS = (
+    "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order "
+    "bnd_center bnd_rad2 gate tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
+    "tri_normal tri_color tri_emis tri_rtype tri_order"
+).split()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "rr_start_depth", "block"),
+)
+def trace_pallas(
+    o,
+    d,
+    kscene: dict,
+    seed,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = DEFAULT_BLOCK,
+):
+    """Trace rays with the fused megakernel.
+
+    o, d: [N,3] f32 (N must be a multiple of `block`); kscene from
+    kernel_scene_buffers(); seed: int32 scalar (pass/chunk stream id).
+    Returns (radiance [N,3], rays_traced scalar f32).
+    """
+    n = o.shape[0]
+    if n % block:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+    S = kscene["sph_rad2"].shape[1]
+    M = kscene["bnd_rad2"].shape[1]
+    T = kscene["tri_na"].shape[1]
+
+    kernel = _make_kernel(S, M, T, block, max_depth, rr_start_depth)
+    grid = (n // block,)
+    rad, counts = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_KEYS],
+        ],
+        out_specs=(
+            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        o.T,
+        d.T,
+        *[kscene[k] for k in _SCENE_KEYS],
+    )
+    return rad.T, jnp.sum(counts)

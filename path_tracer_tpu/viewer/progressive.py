@@ -1,0 +1,78 @@
+"""Progressive preview renderer.
+
+The TPU-native equivalent of the reference's interactive wgpu raster
+viewport (survey §2.11): the same wavefront kernel at low spp per frame with
+accumulation across frames, restarted on camera moves. Feeds any host UI a
+steadily-denoising image at interactive rates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from path_tracer_tpu.models.scene import SceneDescriptor
+from path_tracer_tpu.ops import rng
+from path_tracer_tpu.render import integrator
+from path_tracer_tpu.render.image import Image
+from path_tracer_tpu.render.pipeline import prepare_scene
+from path_tracer_tpu.render.raygen import camera_arrays
+from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+
+class ProgressiveRenderer:
+    """Accumulates samples frame by frame; reset() on scene/camera edits."""
+
+    def __init__(
+        self,
+        scene: SceneDescriptor,
+        resolution: Resolution,
+        spp_per_frame: int = 2,
+        seed: int = 0,
+        max_depth: int = 12,
+        backend: str = "fast",
+    ):
+        self.scene = scene
+        self.resolution = resolution
+        self.spp_per_frame = spp_per_frame
+        self.seed = seed
+        self.max_depth = max_depth
+        self.mode = backend
+        self.scene_bufs = prepare_scene(scene, backend)
+        self.reset()
+
+    def reset(self) -> None:
+        """Restart accumulation (after camera/scene edits)."""
+        npix = self.resolution.num_pixels
+        self._accum = jnp.zeros((npix, 3), jnp.float32)
+        self._frame = 0
+        self._cam = {
+            k: jnp.asarray(v) for k, v in camera_arrays(self.scene.camera).items()
+        }
+        self._key = rng.root_key(self.seed)
+
+    @property
+    def samples_done(self) -> int:
+        return self._frame * self.spp_per_frame
+
+    def step(self) -> Image:
+        """Render one frame's worth of samples; returns the running image."""
+        self._accum, _ = integrator.render_pass(
+            self.scene_bufs,
+            self._cam,
+            self._accum,
+            jnp.int32(self._frame),
+            self._key,
+            width=self.resolution.width,
+            height=self.resolution.height,
+            samples_in_pass=self.spp_per_frame,
+            max_depth=self.max_depth,
+            mode=self.mode,
+        )
+        self._frame += 1
+        img = integrator.finalize(self._accum, self.samples_done)
+        return Image.new(np.asarray(img), self.resolution)
+
+    def move_camera(self, camera) -> None:
+        self.scene.camera = camera
+        self.reset()
