@@ -86,7 +86,7 @@ def sphere_distances_exact(o, d, center, radius):
     op = center[None, :, :] - o[:, None, :]  # [R,S,3]
     b = _dot(op, d[:, None, :])  # [R,S]
     det = b * b - _dot(op, op) + radius[None, :] ** 2
-    return _select_root(b, det)
+    return _select_root(b, det, radius)
 
 
 def sphere_distances_fast(o, d, center, radius):
@@ -98,16 +98,18 @@ def sphere_distances_fast(o, d, center, radius):
     cc = _dot(center, center)[None, :]
     b = cd - od
     det = b * b - (cc - 2.0 * oc + oo) + radius[None, :] ** 2
-    return _select_root(b, det)
+    return _select_root(b, det, radius)
 
 
-def _select_root(b, det):
-    """Nearer-root-first with eps (mod.rs:414-428); miss → inf."""
+def _select_root(b, det, radius):
+    """Nearer-root-first with eps (mod.rs:414-428); miss → inf. radius == 0
+    marks padding entries (their 1e30 centers make the quadratic degenerate
+    to inf/nan) — forced miss."""
     sq = jnp.sqrt(jnp.maximum(det, 0.0))
     t_near = b - sq
     t_far = b + sq
     t = jnp.where(t_near >= EPS_SPHERE, t_near, jnp.where(t_far >= EPS_SPHERE, t_far, INF))
-    return jnp.where(det < 0.0, INF, t)
+    return jnp.where((det < 0.0) | (radius[None, :] <= 0.0), INF, t)
 
 
 # ---------------------------------------------------------------------------

@@ -55,9 +55,10 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
     """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
     sublane multiples using guaranteed-miss entries; plus the [M,T] 0/1 gate
     matrix mapping mesh bounding spheres to their triangles."""
-    S = max(((packed.num_spheres + pad - 1) // pad) * pad, pad)
-    T = max(((packed.num_triangles + pad - 1) // pad) * pad, pad)
-    M = max(((packed.num_meshes + pad - 1) // pad) * pad, pad)
+    # pack_scene already padded these with guaranteed-miss entries
+    S = packed.sph_radius.shape[0]
+    T = packed.tri_v.shape[0]
+    M = packed.bnd_radius.shape[0]
 
     def prep(x, P, fill=0.0):
         x = np.asarray(x, np.float32)
@@ -136,23 +137,35 @@ def _sphere_t(cen, rad2, o, d):
     t = jnp.where(
         t_near >= EPS_SPHERE, t_near, jnp.where(t_far >= EPS_SPHERE, t_far, BIG)
     )
-    return jnp.where(det < 0.0, BIG, t)
+    # rad2 == 0 marks padding: the far-away center makes b²-|op|² cancel
+    # catastrophically (can yield phantom positive roots) — force miss.
+    return jnp.where((det < 0.0) | (rad2 <= 0.0), BIG, t)
 
 
-def _make_kernel(S, M, T, B, max_depth, rr_start_depth):
+def _make_kernel(S, M, T, B, max_depth, rr_start_depth, fixed_uniforms):
     PI = np.float32(np.pi)
     R0 = np.float32((1.5 - 1.0) ** 2 / (1.5 + 1.0) ** 2)
 
     def kernel(
         seed_ref,
         o_ref, d_ref,
-        sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
-        bnd_center, bnd_rad2, gate,
-        tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
-        tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
-        rad_ref, count_ref,
+        *rest,
     ):
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * jnp.int32(2654435761))
+        if fixed_uniforms:
+            u_ref = rest[0]  # [max_depth*4, B] precomputed uniforms
+            rest = rest[1:]
+        (
+            sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
+            bnd_center, bnd_rad2, gate,
+            tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
+            tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
+            rad_ref, count_ref,
+        ) = rest
+        if not fixed_uniforms:
+            # Knuth multiplicative hash (golden-ratio constant as signed i32)
+            pltpu.prng_seed(
+                seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
+            )
 
         def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
             return ref[k, :][:, None]
@@ -185,7 +198,7 @@ def _make_kernel(S, M, T, B, max_depth, rr_start_depth):
             t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
             pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
             tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
-                gate, pre_ok, (((0,), (0,)), ((), ())),
+                gate[...], pre_ok, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -264,7 +277,10 @@ def _make_kernel(S, M, T, B, max_depth, rr_start_depth):
             nl = [jnp.where(to_ray, nrm[k], -nrm[k]) for k in range(3)]
 
             # --- randomness for this bounce ---
-            u = _uniform((8, B))  # 8 sublanes (tile-aligned); rows 0-3 used
+            if fixed_uniforms:
+                u = u_ref[pl.ds(s * 4, 4), :]
+            else:
+                u = _uniform((8, B))  # 8 sublanes (tile-aligned); rows 0-3 used
             u_rr = u[0, :][None, :]
             u1 = u[1, :][None, :]
             u2 = u[2, :][None, :]
@@ -385,11 +401,14 @@ def trace_pallas(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = DEFAULT_BLOCK,
+    uniforms=None,
 ):
     """Trace rays with the fused megakernel.
 
     o, d: [N,3] f32 (N must be a multiple of `block`); kscene from
     kernel_scene_buffers(); seed: int32 scalar (pass/chunk stream id).
+    uniforms (testing only): [max_depth*4, N] precomputed uniforms replacing
+    the hardware PRNG (for interpreter-mode and same-uniform validation).
     Returns (radiance [N,3], rays_traced scalar f32).
     """
     n = o.shape[0]
@@ -399,15 +418,28 @@ def trace_pallas(
     M = kscene["bnd_rad2"].shape[1]
     T = kscene["tri_na"].shape[1]
 
-    kernel = _make_kernel(S, M, T, block, max_depth, rr_start_depth)
+    fixed = uniforms is not None
+    kernel = _make_kernel(S, M, T, block, max_depth, rr_start_depth, fixed)
     grid = (n // block,)
+    ray_spec = pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    uni_specs = (
+        [
+            pl.BlockSpec(
+                (max_depth * 4, block), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+        ]
+        if fixed
+        else []
+    )
+    uni_args = [uniforms] if fixed else []
     rad, counts = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ray_spec,
+            ray_spec,
+            *uni_specs,
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_KEYS],
         ],
         out_specs=(
@@ -422,6 +454,7 @@ def trace_pallas(
         jnp.asarray(seed, jnp.int32).reshape(1, 1),
         o.T,
         d.T,
+        *uni_args,
         *[kscene[k] for k in _SCENE_KEYS],
     )
     return rad.T, jnp.sum(counts)

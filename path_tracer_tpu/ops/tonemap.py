@@ -24,6 +24,10 @@ def to_int_with_gamma_correction(x):
 
 
 def quantize_np(x: np.ndarray) -> np.ndarray:
-    """NumPy twin for host-side encoding (PPM writer fallback)."""
-    g = np.power(np.clip(x.astype(np.float32), 0.0, 1.0), np.float32(INV_GAMMA))
+    """NumPy twin for host-side encoding (PPM writer fallback).
+
+    pow in float64 — matches the native C++ encoder bit-for-bit (f32 pow
+    differs in the last ulp on ~0.4% of values, occasionally flipping the
+    +0.5 floor)."""
+    g = np.power(np.clip(x.astype(np.float64), 0.0, 1.0), INV_GAMMA)
     return (255.0 * g + 0.5).astype(np.int32)

@@ -61,6 +61,10 @@ def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
     bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
     if mode in ("fast", "auto"):
         bufs["tri_coeffs"] = triangle_coeffs(bufs["tri_v"])
+    if mode == "pallas":
+        from path_tracer_tpu.ops.pallas.trace_kernel import kernel_scene_buffers
+
+        bufs["kernel"] = kernel_scene_buffers(packed)
     return bufs
 
 
