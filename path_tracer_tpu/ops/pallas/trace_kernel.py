@@ -142,29 +142,39 @@ def _sphere_t(cen, rad2, o, d):
     return jnp.where((det < 0.0) | (rad2 <= 0.0), BIG, t)
 
 
-def _make_kernel(S, M, T, B, max_depth, rr_start_depth, fixed_uniforms):
+def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms):
+    """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
+
+    Full state rides HBM↔VMEM so calls chain: n_steps == max_depth is the
+    single-pass megakernel (state never leaves the chip); smaller n_steps
+    trades a little HBM traffic (~112 B/ray per boundary) for much smaller
+    Mosaic compile units and a hook for future inter-bounce compaction.
+    """
     PI = np.float32(np.pi)
     R0 = np.float32((1.5 - 1.0) ** 2 / (1.5 + 1.0) ** 2)
 
     def kernel(
         seed_ref,
-        o_ref, d_ref,
+        o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref,
         *rest,
     ):
         if fixed_uniforms:
-            u_ref = rest[0]  # [max_depth*4, B] precomputed uniforms
+            u_ref = rest[0]  # [n_steps*4, B] precomputed uniforms
             rest = rest[1:]
         (
             sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
             bnd_center, bnd_rad2, gate,
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
-            rad_ref, count_ref,
+            o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref,
         ) = rest
+        depth0 = seed_ref[0, 1]
         if not fixed_uniforms:
             # Knuth multiplicative hash (golden-ratio constant as signed i32)
             pltpu.prng_seed(
-                seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
+                seed_ref[0, 0]
+                + pl.program_id(0) * jnp.int32(-1640531535)
+                + depth0 * jnp.int32(9741)
             )
 
         def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
@@ -173,25 +183,25 @@ def _make_kernel(S, M, T, B, max_depth, rr_start_depth, fixed_uniforms):
         # per-ray state: lists of [1,B]
         o = [o_ref[k, :][None, :] for k in range(3)]
         d = [d_ref[k, :][None, :] for k in range(3)]
-        one = jnp.ones((1, B), jnp.float32)
-        thr = [one, one, one]
-        zero = jnp.zeros((1, B), jnp.float32)
-        acc = [zero, zero, zero]
-        alive = jnp.ones((1, B), jnp.bool_)
-        prev = jnp.full((1, B), -1.0, jnp.float32)
-        counts = zero
+        thr = [thr_ref[k, :][None, :] for k in range(3)]
+        acc = [acc_ref[k, :][None, :] for k in range(3)]
+        alive_f = alive_ref[0, :][None, :]
+        prev = prev_ref[0, :][None, :]
+        counts = jnp.zeros((1, B), jnp.float32)
 
         sphc = [tcol(sph_center, k) for k in range(3)]
         bndc = [tcol(bnd_center, k) for k in range(3)]
         sph_r2 = sph_rad2[0, :][:, None]
         bnd_r2 = bnd_rad2[0, :][:, None]
         tri_na_c = tri_na[0, :][:, None]
-        sph_idx = jax.lax.broadcasted_iota(jnp.float32, (S, B), 0)
-        tri_idx = jax.lax.broadcasted_iota(jnp.float32, (T, B), 0)
+        # tpu.iota only produces integers — build f32 indices via cast
+        sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
+        tri_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
 
         def body(s, carry):
-            o, d, thr, acc, alive, prev, counts = carry
-            counts = counts + alive.astype(jnp.float32)
+            o, d, thr, acc, alive_f, prev, counts = carry
+            alive = alive_f > 0.0
+            counts = counts + alive_f
 
             # --- spheres + bounding pre-test ---
             t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
@@ -288,7 +298,7 @@ def _make_kernel(S, M, T, B, max_depth, rr_start_depth, fixed_uniforms):
 
             # --- Russian roulette (mod.rs:676-683) ---
             max_refl = jnp.maximum(color[0], jnp.maximum(color[1], color[2]))
-            new_depth = s + 1
+            new_depth = depth0 + s + 1
             rr_on = new_depth > rr_start_depth
             survive = (u_rr < max_refl) & (new_depth < max_depth)
             die_rr = rr_on & ~survive
@@ -367,15 +377,23 @@ def _make_kernel(S, M, T, B, max_depth, rr_start_depth, fixed_uniforms):
             o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
             d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
             thr = [thr_new[k] * am for k in range(3)]
-            return (o, d, thr, acc, alive_new, new_prev, counts)
+            return (o, d, thr, acc, am, new_prev, counts)
 
-        carry = (o, d, thr, acc, alive, prev, counts)
-        o, d, thr, acc, alive, prev, counts = jax.lax.fori_loop(
-            0, max_depth, body, carry
-        )
-        rad_ref[0, :] = acc[0][0, :]
-        rad_ref[1, :] = acc[1][0, :]
-        rad_ref[2, :] = acc[2][0, :]
+        carry = (o, d, thr, acc, alive_f, prev, counts)
+        if n_steps <= 4:
+            # python-unroll: avoids scf.for entirely (Mosaic legalization)
+            for s in range(n_steps):
+                carry = body(jnp.int32(s), carry)
+        else:
+            carry = jax.lax.fori_loop(0, n_steps, body, carry)
+        o, d, thr, acc, alive_f, prev, counts = carry
+        for k in range(3):
+            o_out[k, :] = o[k][0, :]
+            d_out[k, :] = d[k][0, :]
+            thr_out[k, :] = thr[k][0, :]
+            acc_out[k, :] = acc[k][0, :]
+        alive_out[0, :] = alive_f[0, :]
+        prev_out[0, :] = prev[0, :]
         count_ref[0, :] = counts[0, :]
 
     return kernel
@@ -390,7 +408,7 @@ _SCENE_KEYS = (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_start_depth", "block"),
+    static_argnames=("max_depth", "rr_start_depth", "block", "steps_per_call"),
 )
 def trace_pallas(
     o,
@@ -401,12 +419,16 @@ def trace_pallas(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = DEFAULT_BLOCK,
+    steps_per_call: int = 12,
     uniforms=None,
 ):
-    """Trace rays with the fused megakernel.
+    """Trace rays with the fused wavefront kernel.
 
     o, d: [N,3] f32 (N must be a multiple of `block`); kscene from
     kernel_scene_buffers(); seed: int32 scalar (pass/chunk stream id).
+    steps_per_call: bounces fused per kernel invocation (max_depth = one
+    fully-fused megakernel; smaller values compile faster and round-trip
+    state through HBM between calls).
     uniforms (testing only): [max_depth*4, N] precomputed uniforms replacing
     the hardware PRNG (for interpreter-mode and same-uniform validation).
     Returns (radiance [N,3], rays_traced scalar f32).
@@ -417,44 +439,58 @@ def trace_pallas(
     S = kscene["sph_rad2"].shape[1]
     M = kscene["bnd_rad2"].shape[1]
     T = kscene["tri_na"].shape[1]
+    steps = min(steps_per_call, max_depth)
+    n_calls = -(-max_depth // steps)
 
     fixed = uniforms is not None
-    kernel = _make_kernel(S, M, T, block, max_depth, rr_start_depth, fixed)
+    kernel = _make_kernel(S, M, T, block, steps, max_depth, rr_start_depth, fixed)
     grid = (n // block,)
-    ray_spec = pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM)
-    uni_specs = (
-        [
-            pl.BlockSpec(
-                (max_depth * 4, block), lambda i: (0, i), memory_space=pltpu.VMEM
-            )
-        ]
-        if fixed
-        else []
-    )
-    uni_args = [uniforms] if fixed else []
-    rad, counts = pl.pallas_call(
+
+    def rspec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    state_specs = [rspec(3), rspec(3), rspec(3), rspec(3), rspec(1), rspec(1)]
+    uni_specs = [rspec(steps * 4)] if fixed else []
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            ray_spec,
-            ray_spec,
+            *state_specs,
             *uni_specs,
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_KEYS],
         ],
-        out_specs=(
-            pl.BlockSpec((3, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(*state_specs, rspec(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((3, n), jnp.float32),
-            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # o
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # d
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # thr
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # acc
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # alive
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # prev
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # counts
         ),
-    )(
-        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+    )
+
+    state = (
         o.T,
         d.T,
-        *uni_args,
-        *[kscene[k] for k in _SCENE_KEYS],
+        jnp.ones((3, n), jnp.float32),
+        jnp.zeros((3, n), jnp.float32),
+        jnp.ones((1, n), jnp.float32),
+        jnp.full((1, n), -1.0, jnp.float32),
     )
-    return rad.T, jnp.sum(counts)
+    tables = [kscene[k] for k in _SCENE_KEYS]
+    seed32 = jnp.asarray(seed, jnp.int32)
+    total = jnp.zeros((), jnp.float32)
+    for c in range(n_calls):
+        depth0 = c * steps
+        smem = jnp.stack([seed32, jnp.int32(depth0)]).reshape(1, 2)
+        uni = (
+            [uniforms[depth0 * 4 : (depth0 + steps) * 4]] if fixed else []
+        )
+        *state, counts = call(smem, *state, *uni, *tables)
+        total = total + jnp.sum(counts)
+    acc = state[3]
+    return acc.T, total

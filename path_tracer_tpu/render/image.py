@@ -89,6 +89,19 @@ def write_ppm(
     return path
 
 
+def write_png(image: Image, path: str, gamma: bool = True) -> str:
+    """Convenience PNG export (display-oriented, gamma-encoded). Requires
+    PIL; the PPM path (write_ppm) is the dependency-free reference format."""
+    from PIL import Image as PILImage
+
+    grid = image.to_grid()
+    if gamma:
+        grid = np.power(np.clip(grid, 0.0, 1.0), np.float32(1 / 2.2))
+    arr = (grid * 255 + 0.5).astype(np.uint8)
+    PILImage.fromarray(arr).save(path)
+    return path
+
+
 def read_ppm(path: str) -> tuple[np.ndarray, int, int]:
     """Parse ASCII P3 → (int array [H*W, 3] in FILE order, width, height)."""
     with open(path, "rb") as f:

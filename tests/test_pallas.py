@@ -58,6 +58,31 @@ def test_kernel_max_depth(all_scenes):
     assert (np.abs(pr - xr).sum(axis=1) < 1e-3).mean() > 0.995
 
 
+def test_kernel_stepped_equals_megakernel(all_scenes):
+    """steps_per_call < max_depth must produce identical results (the state
+    round-trips HBM between calls but the math is the same)."""
+    scene = all_scenes["cornell"]
+    packed = pt.pack_scene(scene)
+    kscene = tk.kernel_scene_buffers(packed)
+    n = 512
+    g = np.random.default_rng(3)
+    o = jnp.asarray(np.tile(np.array([0.0, -0.2, 7.0], np.float32), (n, 1)))
+    d = g.normal(0, 1, (n, 3))
+    d = jnp.asarray((d / np.linalg.norm(d, axis=1, keepdims=True)), jnp.float32)
+    key = jax.random.PRNGKey(11)
+    U = jnp.stack([prng.bounce_uniforms(key, s, (n,), 4) for s in range(12)])
+    u_kernel = U.transpose(0, 2, 1).reshape(48, n)
+    with pltpu.force_tpu_interpret_mode():
+        r12, c12 = tk.trace_pallas.__wrapped__(
+            o, d, kscene, 0, block=512, uniforms=u_kernel, steps_per_call=12
+        )
+        r3, c3 = tk.trace_pallas.__wrapped__(
+            o, d, kscene, 0, block=512, uniforms=u_kernel, steps_per_call=3
+        )
+    np.testing.assert_array_equal(np.asarray(r12), np.asarray(r3))
+    assert float(c12) == float(c3)
+
+
 def test_kernel_scene_buffers_shapes(all_scenes):
     packed = pt.pack_scene(all_scenes["mesh"])
     ks = tk.kernel_scene_buffers(packed)
