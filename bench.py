@@ -31,10 +31,12 @@ def main():
     spp = int(os.environ.get("BENCH_SPP", "100"))
     width, height = 1024, 768
     npix = width * height
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+    from path_tracer_tpu.render.pipeline import prepare_scene_and_mode
 
     scene = pt.load_scene("cornell", "scenes")
     cfg = RenderConfig(samples_per_pixel=spp, resolution=Resolution(height, width))
-    bufs = prepare_scene(scene)
+    bufs, mode = prepare_scene_and_mode(scene, backend)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
 
@@ -46,7 +48,7 @@ def main():
             bufs, cam, accum, jnp.int32(i), base_key,
             width=width, height=height, samples_in_pass=k,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
-            mode="fast",
+            mode=mode,
         )
 
     # warmup/compile

@@ -72,6 +72,24 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         np.asarray, intersect_ops.triangle_coeffs(jnp.asarray(sc.tri_v))
     )
 
+    # The reference's bounding-sphere pre-test (mod.rs:265-279) exists to
+    # skip triangle loops on the CPU; on TPU all lanes compute anyway, so it
+    # is pure overhead UNLESS the (buggy-centered) sphere fails to contain
+    # its mesh — then it genuinely gates hits and must be evaluated for
+    # parity. Host-check containment; drop the pre-test when it is a no-op.
+    contained = True
+    for m_idx in range(sc.num_meshes):
+        sel = np.asarray(sc.tri_mesh[: sc.num_triangles]) == m_idx
+        if not sel.any():
+            continue
+        verts = np.asarray(sc.tri_v[: sc.num_triangles])[sel].reshape(-1, 3)
+        c = sc.bnd_center[m_idx]
+        r = float(sc.bnd_radius[m_idx])
+        dmax = float(np.sqrt(((verts - c) ** 2).sum(axis=1)).max())
+        if dmax > r * (1.0 + 1e-5) + 1e-6:
+            contained = False
+            break
+
     gate = np.zeros((M, T), np.float32)
     for t in range(sc.num_triangles):
         gate[sc.tri_mesh[t], t] = 1.0
@@ -86,9 +104,6 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         "sph_order": prep(
             np.minimum(sc.sph_order, 2**24).astype(np.float32), S, order_fill
         ),
-        "bnd_center": prep(sc.bnd_center, M, 1e30),
-        "bnd_rad2": prep(np.asarray(sc.bnd_radius) ** 2, M),
-        "gate": gate,
         "tri_n": prep(coeffs["n"], T),
         "tri_e1": prep(coeffs["e1"], T),
         "tri_e2": prep(coeffs["e2"], T),
@@ -103,6 +118,10 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
             np.minimum(sc.tri_order, 2**24).astype(np.float32), T, order_fill
         ),
     }
+    if not contained:
+        bufs["bnd_center"] = prep(sc.bnd_center, M, 1e30)
+        bufs["bnd_rad2"] = prep(np.asarray(sc.bnd_radius) ** 2, M)
+        bufs["gate"] = gate
     return {k: jnp.asarray(v) for k, v in bufs.items()}
 
 
@@ -114,12 +133,13 @@ def _uniform(shape):
 
 
 def _first_min_sublane(t, idx):
-    """[P,B] distances + [P,B] index iota → (min [1,B], one-hot [P,B]).
-    First-wins tie-break via a second min over the tying indices."""
+    """[P,B] distances + [P,B] index iota → (min [1,B], one-hot [P,B],
+    winner index [1,B]). First-wins tie-break via a second min over the
+    tying indices."""
     tmin = jnp.min(t, axis=0, keepdims=True)
     eq = t == tmin
     imin = jnp.min(jnp.where(eq, idx, BIG), axis=0, keepdims=True)
-    return tmin, (idx == imin).astype(jnp.float32)
+    return tmin, (idx == imin).astype(jnp.float32), imin
 
 
 def _sphere_t(cen, rad2, o, d):
@@ -142,7 +162,99 @@ def _sphere_t(cen, rad2, o, d):
     return jnp.where((det < 0.0) | (rad2 <= 0.0), BIG, t)
 
 
-def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms):
+_PI = np.float32(np.pi)
+_R0 = np.float32((1.5 - 1.0) ** 2 / (1.5 + 1.0) ** 2)
+
+
+def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
+                new_depth, max_depth, rr_start_depth):
+    """Russian roulette + emission + BSDF sample + throughput update.
+
+    Shape-agnostic (component lists of any 2D per-ray shape); shared by the
+    prim-major (v1) and ray-major (v2) kernels. Semantics: mod.rs:676-788
+    with the always-RR refraction branch (see ops.bsdf).
+    Returns (acc', thr', d_new, alive_mask).
+    """
+    u_rr, u1, u2, u_br = u4
+
+    nd = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+    to_ray = nd < 0.0
+    nl = [jnp.where(to_ray, nrm[k], -nrm[k]) for k in range(3)]
+
+    # --- Russian roulette (mod.rs:676-683) ---
+    max_refl = jnp.maximum(color[0], jnp.maximum(color[1], color[2]))
+    rr_on = new_depth > rr_start_depth
+    survive = (u_rr < max_refl) & (new_depth < max_depth)
+    die_rr = rr_on & ~survive
+    scale = jnp.where(rr_on & survive, 1.0 / jnp.maximum(max_refl, 1e-30), 1.0)
+
+    fm = found.astype(jnp.float32)
+    acc = [acc[k] + thr[k] * emis[k] * fm for k in range(3)]
+
+    # --- diffuse: cosine-weighted around nl (mod.rs:687-715) ---
+    r1 = 2.0 * _PI * u1
+    r2s = jnp.sqrt(u2)
+    w = nl
+    use_y = jnp.abs(w[0]) > 0.1
+    upx = jnp.where(use_y, 0.0, 1.0)
+    upy = jnp.where(use_y, 1.0, 0.0)
+    ux = upy * w[2]
+    uy = -upx * w[2]
+    uz = upx * w[1] - upy * w[0]
+    ul = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
+    ux, uy, uz = ux * ul, uy * ul, uz * ul
+    vx = w[1] * uz - w[2] * uy
+    vy = w[2] * ux - w[0] * uz
+    vz = w[0] * uy - w[1] * ux
+    cr1 = jnp.cos(r1) * r2s
+    sr1 = jnp.sin(r1) * r2s
+    wz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+    dd0 = ux * cr1 + vx * sr1 + w[0] * wz
+    dd1 = uy * cr1 + vy * sr1 + w[1] * wz
+    dd2 = uz * cr1 + vz * sr1 + w[2] * wz
+    dl = jax.lax.rsqrt(jnp.maximum(dd0 * dd0 + dd1 * dd1 + dd2 * dd2, 1e-30))
+    d_diff = [dd0 * dl, dd1 * dl, dd2 * dl]
+
+    # --- specular mirror ---
+    d_spec = [d[k] - nrm[k] * 2.0 * nd for k in range(3)]
+
+    # --- refract (mod.rs:729-788; always-RR branch, weights Re/P, Tr/(1-P)) ---
+    into = to_ray
+    nnt = jnp.where(into, np.float32(1.0 / 1.5), np.float32(1.5))
+    ddn = nl[0] * d[0] + nl[1] * d[1] + nl[2] * d[2]
+    cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+    tir = cos2t < 0.0
+    tsc = ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))
+    td = [d[k] * nnt - nl[k] * tsc for k in range(3)]
+    tl = jax.lax.rsqrt(jnp.maximum(td[0] ** 2 + td[1] ** 2 + td[2] ** 2, 1e-30))
+    td = [x * tl for x in td]
+    tdn = td[0] * nrm[0] + td[1] * nrm[1] + td[2] * nrm[2]
+    c_ = 1.0 - jnp.where(into, -ddn, tdn)
+    re = _R0 + (1.0 - _R0) * c_**5
+    p_ = 0.25 + 0.5 * re
+    pick_refl = (u_br < p_) | tir
+    d_refr = [jnp.where(pick_refl, d_spec[k], td[k]) for k in range(3)]
+    w_refr = jnp.where(
+        tir, 1.0, jnp.where(u_br < p_, re / p_, (1.0 - re) / (1.0 - p_))
+    )
+
+    is_diff = rtype < 0.5
+    is_spec = (rtype >= 0.5) & (rtype < 1.5)
+    d_new = [
+        jnp.where(is_diff, d_diff[k], jnp.where(is_spec, d_spec[k], d_refr[k]))
+        for k in range(3)
+    ]
+    wgt = jnp.where(is_diff | is_spec, 1.0, w_refr)
+
+    thr_new = [thr[k] * color[k] * scale * wgt for k in range(3)]
+    thr_max = jnp.maximum(thr_new[0], jnp.maximum(thr_new[1], thr_new[2]))
+    alive_new = found & ~die_rr & (thr_max > 0.0)
+    return acc, thr_new, d_new, alive_new
+
+
+def _make_kernel(
+    S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest
+):
     """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
 
     Full state rides HBM↔VMEM so calls chain: n_steps == max_depth is the
@@ -163,7 +275,11 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
             rest = rest[1:]
         (
             sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
-            bnd_center, bnd_rad2, gate,
+            *rest,
+        ) = rest
+        if pretest:
+            bnd_center, bnd_rad2, gate, *rest = rest
+        (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
             o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref,
@@ -190,9 +306,10 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
         counts = jnp.zeros((1, B), jnp.float32)
 
         sphc = [tcol(sph_center, k) for k in range(3)]
-        bndc = [tcol(bnd_center, k) for k in range(3)]
         sph_r2 = sph_rad2[0, :][:, None]
-        bnd_r2 = bnd_rad2[0, :][:, None]
+        if pretest:
+            bndc = [tcol(bnd_center, k) for k in range(3)]
+            bnd_r2 = bnd_rad2[0, :][:, None]
         tri_na_c = tri_na[0, :][:, None]
         # tpu.iota only produces integers — build f32 indices via cast
         sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
@@ -203,14 +320,15 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
             alive = alive_f > 0.0
             counts = counts + alive_f
 
-            # --- spheres + bounding pre-test ---
+            # --- spheres (+ bounding pre-test when it can gate hits) ---
             t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
-            t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
-            pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
-            tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
-                gate[...], pre_ok, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if pretest:
+                t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
+                pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
+                tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
+                    gate[...], pre_ok, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
             # --- triangles (affine feature form) ---
             m = [
@@ -241,13 +359,14 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
                 & (u_ >= 0.0) & (u_ <= 1.0)
                 & (v_ >= 0.0) & (u_ + v_ <= 1.0)
                 & (t_ > EPS_TRI_T)
-                & (tri_ok > 0.0)
                 & (tri_idx != prev)
             )
+            if pretest:
+                valid &= tri_ok > 0.0
             t_tri = jnp.where(valid, t_, BIG)
 
-            d_s, oh_s = _first_min_sublane(t_sph, sph_idx)
-            d_t, oh_t = _first_min_sublane(t_tri, tri_idx)
+            d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
+            d_t, oh_t, i_t = _first_min_sublane(t_tri, tri_idx)
 
             def read_s(tab, k):  # [1,B]
                 return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
@@ -279,101 +398,21 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
                 for k in range(3)
             ]
             rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), read_t(tri_rtype, 0))
-            tri_id = jnp.sum(tri_idx * oh_t, axis=0, keepdims=True)
-            new_prev = jnp.where(found & ~sph_wins, tri_id, -1.0)
+            new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
 
-            nd = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
-            to_ray = nd < 0.0
-            nl = [jnp.where(to_ray, nrm[k], -nrm[k]) for k in range(3)]
-
-            # --- randomness for this bounce ---
             if fixed_uniforms:
                 u = u_ref[pl.ds(s * 4, 4), :]
+                u4 = [u[k, :][None, :] for k in range(4)]
             else:
-                u = _uniform((8, B))  # 8 sublanes (tile-aligned); rows 0-3 used
-            u_rr = u[0, :][None, :]
-            u1 = u[1, :][None, :]
-            u2 = u[2, :][None, :]
-            u_br = u[3, :][None, :]
+                u = _uniform((4, B))
+                u4 = [u[k, :][None, :] for k in range(4)]
 
-            # --- Russian roulette (mod.rs:676-683) ---
-            max_refl = jnp.maximum(color[0], jnp.maximum(color[1], color[2]))
             new_depth = depth0 + s + 1
-            rr_on = new_depth > rr_start_depth
-            survive = (u_rr < max_refl) & (new_depth < max_depth)
-            die_rr = rr_on & ~survive
-            scale = jnp.where(
-                rr_on & survive, 1.0 / jnp.maximum(max_refl, 1e-30), 1.0
+            acc, thr_new, d_new, alive_new = shade_phase(
+                d, nrm, color, emis, rtype, found, thr, acc, u4,
+                new_depth, max_depth, rr_start_depth,
             )
-
-            fm = found.astype(jnp.float32)
-            acc = [acc[k] + thr[k] * emis[k] * fm for k in range(3)]
-
-            # --- BSDF lanes ---
-            # diffuse: cosine-weighted around nl (mod.rs:687-715)
-            r1 = 2.0 * PI * u1
-            r2s = jnp.sqrt(u2)
-            w = nl
-            use_y = jnp.abs(w[0]) > 0.1
-            upx = jnp.where(use_y, 0.0, 1.0)
-            upy = jnp.where(use_y, 1.0, 0.0)
-            ux = upy * w[2]
-            uy = -upx * w[2]
-            uz = upx * w[1] - upy * w[0]
-            ul = jax.lax.rsqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-30))
-            ux, uy, uz = ux * ul, uy * ul, uz * ul
-            vx = w[1] * uz - w[2] * uy
-            vy = w[2] * ux - w[0] * uz
-            vz = w[0] * uy - w[1] * ux
-            cr1 = jnp.cos(r1) * r2s
-            sr1 = jnp.sin(r1) * r2s
-            wz = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
-            dd0 = ux * cr1 + vx * sr1 + w[0] * wz
-            dd1 = uy * cr1 + vy * sr1 + w[1] * wz
-            dd2 = uz * cr1 + vz * sr1 + w[2] * wz
-            dl = jax.lax.rsqrt(jnp.maximum(dd0 * dd0 + dd1 * dd1 + dd2 * dd2, 1e-30))
-            d_diff = [dd0 * dl, dd1 * dl, dd2 * dl]
-
-            # specular mirror
-            d_spec = [d[k] - nrm[k] * 2.0 * nd for k in range(3)]
-
-            # refract (mod.rs:729-788; always-RR branch, weights Re/P, Tr/(1-P))
-            into = to_ray
-            nnt = jnp.where(into, np.float32(1.0 / 1.5), np.float32(1.5))
-            ddn = nl[0] * d[0] + nl[1] * d[1] + nl[2] * d[2]
-            cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
-            tir = cos2t < 0.0
-            tsc = ddn * nnt + jnp.sqrt(jnp.maximum(cos2t, 0.0))
-            td = [d[k] * nnt - nl[k] * tsc for k in range(3)]
-            tl = jax.lax.rsqrt(
-                jnp.maximum(td[0] ** 2 + td[1] ** 2 + td[2] ** 2, 1e-30)
-            )
-            td = [x * tl for x in td]
-            tdn = td[0] * nrm[0] + td[1] * nrm[1] + td[2] * nrm[2]
-            c_ = 1.0 - jnp.where(into, -ddn, tdn)
-            re = R0 + (1.0 - R0) * c_**5
-            p_ = 0.25 + 0.5 * re
-            pick_refl = (u_br < p_) | tir
-            d_refr = [jnp.where(pick_refl, d_spec[k], td[k]) for k in range(3)]
-            w_refr = jnp.where(
-                tir, 1.0, jnp.where(u_br < p_, re / p_, (1.0 - re) / (1.0 - p_))
-            )
-
-            is_diff = rtype < 0.5
-            is_spec = (rtype >= 0.5) & (rtype < 1.5)
-            d_new = [
-                jnp.where(
-                    is_diff, d_diff[k], jnp.where(is_spec, d_spec[k], d_refr[k])
-                )
-                for k in range(3)
-            ]
-            wgt = jnp.where(is_diff | is_spec, 1.0, w_refr)
-
-            thr_new = [thr[k] * color[k] * scale * wgt for k in range(3)]
-            thr_max = jnp.maximum(thr_new[0], jnp.maximum(thr_new[1], thr_new[2]))
-            alive_new = found & ~die_rr & (thr_max > 0.0)
             am = alive_new.astype(jnp.float32)
-
             o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
             d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
             thr = [thr_new[k] * am for k in range(3)]
@@ -399,11 +438,17 @@ def _make_kernel(S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms)
     return kernel
 
 
-_SCENE_KEYS = (
-    "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order "
-    "bnd_center bnd_rad2 gate tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
+_SPH_KEYS = "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order".split()
+_BND_KEYS = "bnd_center bnd_rad2 gate".split()
+_TRI_KEYS = (
+    "tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
     "tri_normal tri_color tri_emis tri_rtype tri_order"
 ).split()
+
+
+def _scene_keys(kscene: dict) -> list[str]:
+    pretest = "gate" in kscene
+    return _SPH_KEYS + (_BND_KEYS if pretest else []) + _TRI_KEYS
 
 
 @functools.partial(
@@ -437,13 +482,17 @@ def trace_pallas(
     if n % block:
         raise ValueError(f"N={n} must be a multiple of block={block}")
     S = kscene["sph_rad2"].shape[1]
-    M = kscene["bnd_rad2"].shape[1]
+    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     steps = min(steps_per_call, max_depth)
     n_calls = -(-max_depth // steps)
 
     fixed = uniforms is not None
-    kernel = _make_kernel(S, M, T, block, steps, max_depth, rr_start_depth, fixed)
+    pretest = "gate" in kscene
+    scene_keys = _scene_keys(kscene)
+    kernel = _make_kernel(
+        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest
+    )
     grid = (n // block,)
 
     def rspec(rows):
@@ -458,7 +507,7 @@ def trace_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             *state_specs,
             *uni_specs,
-            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in _SCENE_KEYS],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in scene_keys],
         ],
         out_specs=(*state_specs, rspec(1)),
         out_shape=(
@@ -481,7 +530,7 @@ def trace_pallas(
         jnp.ones((1, n), jnp.float32),
         jnp.full((1, n), -1.0, jnp.float32),
     )
-    tables = [kscene[k] for k in _SCENE_KEYS]
+    tables = [kscene[k] for k in scene_keys]
     seed32 = jnp.asarray(seed, jnp.int32)
     total = jnp.zeros((), jnp.float32)
     for c in range(n_calls):

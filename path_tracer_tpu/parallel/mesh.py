@@ -145,12 +145,14 @@ def render_sharded(
     The framebuffer is padded so the pixel axis divides dp; padding pixels
     trace real rays pointing at pixel 0 (cheap, simple, correct after crop).
     """
+    from path_tracer_tpu.render.pipeline import resolve_backend
+
     mesh = mesh or make_mesh(num_devices, sample_parallel)
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     res = config.resolution
     npix = res.num_pixels
     npix_pad = _round_up(npix, dp)
-    mode = "fast" if config.backend in ("auto", "mxu", "fast") else config.backend
+    mode = resolve_backend(config.backend)
 
     # sample chunking must divide by sp
     k = config.samples_per_pass

@@ -129,6 +129,11 @@ def render_samples(
 
     u = rng.raygen_uniforms(key, (pixel_idx.shape[0],), 2)
     o, d = generate_rays(pixel_idx, sample_idx, u, cam, width, height)
+    if mode.startswith("pallas2:"):
+        return trace_with_kernel_v2(
+            o, d, mode.split(":", 1)[1], key,
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
+        )
     if mode == "pallas" and "kernel" in scene:
         return trace_with_kernel(
             o, d, scene["kernel"], key,
@@ -143,6 +148,28 @@ def render_samples(
         rr_start_depth=rr_start_depth,
         mode=mode,
     )
+
+
+def trace_with_kernel_v2(o, d, scene_key: str, key, *, max_depth=12,
+                         rr_start_depth=5):
+    """Trace via the ray-major static-scene kernel (block-padded)."""
+    from path_tracer_tpu.ops.pallas.trace_v2 import trace_pallas_v2
+
+    n = o.shape[0]
+    block = 2048
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        pad = n_pad - n
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e30, jnp.float32)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))]
+        )
+    seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+    rad, rays = trace_pallas_v2(
+        o, d, scene_key, seed,
+        max_depth=max_depth, rr_start_depth=rr_start_depth, block=block,
+    )
+    return TraceResult(radiance=rad[:n], rays_traced=rays.astype(jnp.int32))
 
 
 def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):

@@ -61,11 +61,44 @@ def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
     bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
     if mode in ("fast", "auto"):
         bufs["tri_coeffs"] = triangle_coeffs(bufs["tri_v"])
-    if mode == "pallas":
+    if mode == "pallas" or mode.startswith("pallas2"):
         from path_tracer_tpu.ops.pallas.trace_kernel import kernel_scene_buffers
 
         bufs["kernel"] = kernel_scene_buffers(packed)
     return bufs
+
+
+def prepare_scene_and_mode(scene: SceneDescriptor, backend: str) -> tuple[dict, str]:
+    """Resolve the backend AND upgrade 'pallas' to the ray-major static-scene
+    kernel (mode 'pallas2:<key>') when the scene is small enough. The key is
+    a content digest routed statically through jit via the mode string."""
+    mode = resolve_backend(backend)
+    bufs = prepare_scene(scene, mode)
+    if mode == "pallas":
+        import hashlib
+
+        from path_tracer_tpu.models.scene import dumps_scene_json
+        from path_tracer_tpu.ops.pallas import trace_v2
+
+        packed = pack_scene(scene)
+        consts = trace_v2.build_scene_consts(packed)
+        if consts is not None:
+            key = hashlib.sha1(
+                dumps_scene_json(scene.to_json()).encode()
+            ).hexdigest()[:16]
+            trace_v2.register_scene(key, consts)
+            mode = f"pallas2:{key}"
+    return bufs, mode
+
+
+def resolve_backend(backend: str) -> str:
+    """auto → the fused Pallas megakernel on TPU, XLA 'fast' elsewhere
+    (the kernel runs on CPU only in interpret mode)."""
+    if backend in ("auto", "mxu"):
+        return "pallas" if jax.default_backend() != "cpu" else "fast"
+    if backend == "jnp":
+        return "fast"
+    return backend
 
 
 def _pick_samples_per_pass(npix: int, spp: int, budget: int) -> int:
@@ -94,7 +127,7 @@ def render(
     res = config.resolution
     npix = res.num_pixels
     spp = config.samples_per_pixel
-    mode = "fast" if config.backend in ("auto", "mxu", "fast") else config.backend
+    mode = resolve_backend(config.backend)
 
     if verbose:
         print(
@@ -103,7 +136,10 @@ def render(
         )
 
     t_start = time.perf_counter()
-    scene_bufs = device_buffers or prepare_scene(scene, mode)
+    if device_buffers is not None:
+        scene_bufs = device_buffers
+    else:
+        scene_bufs, mode = prepare_scene_and_mode(scene, config.backend)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(config.seed)
 

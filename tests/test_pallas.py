@@ -88,6 +88,57 @@ def test_kernel_scene_buffers_shapes(all_scenes):
     ks = tk.kernel_scene_buffers(packed)
     T = packed.tri_v.shape[0]
     assert ks["tri_n"].shape == (3, T)
-    assert ks["gate"].shape[1] == T
-    # gate rows sum to each mesh's triangle count
-    assert float(ks["gate"].sum()) == packed.num_triangles
+    # all built-in meshes are contained in their (buggy) bounding spheres,
+    # so the pre-test is a no-op and gets dropped from the kernel tables
+    assert "gate" not in ks
+
+
+def test_pretest_kept_when_sphere_does_not_contain_mesh():
+    """A mesh whose buggy bounding sphere misses part of it must keep the
+    pre-test (it genuinely gates hits — reference parity), and rays hitting
+    the uncovered part must report a miss."""
+    from path_tracer_tpu.models.geometry import Mesh
+    from path_tracer_tpu.models.material import Material, ReflectType
+    from path_tracer_tpu.models.scene import SceneDescriptor, SceneObject
+
+    # bounds min=(4,-10,0), max=(10,2,0): buggy center = min + max*0.5 =
+    # (9,-9,0), radius = max(|min-c|, |max-c|) = 11.05 — but the mixed
+    # corner (4, 2, 0) sits at distance 12.08: outside the sphere.
+    tris = np.array(
+        [
+            [[4, -10, 0], [10, -10, 0], [4, 2, 0]],
+            [[10, -10, 0], [10, 2, 0], [4, 2, 0]],
+        ],
+        np.float32,
+    )
+    mesh = Mesh.from_triangles(tris)
+    c = mesh.bounding_sphere_center
+    r = mesh.bounding_sphere_radius
+    corner = np.array([4, 2, 0], np.float32)
+    assert np.linalg.norm(corner - c) > r  # the bug leaves this corner out
+
+    scene = SceneDescriptor(
+        id="t",
+        objects=[
+            SceneObject.from_mesh(
+                np.zeros(3, np.float32), mesh,
+                Material(np.ones(3), np.zeros(3), ReflectType.DIFFUSE),
+            )
+        ],
+    )
+    packed = pt.pack_scene(scene)
+    ks = tk.kernel_scene_buffers(packed)
+    assert "gate" in ks  # pre-test retained
+
+    # a ray at the uncovered corner: triangles would hit, pre-test says miss
+    from path_tracer_tpu.ops.intersect import intersect_scene
+    from path_tracer_tpu.render.pipeline import prepare_scene
+
+    bufs = prepare_scene(scene)
+    # two rays toward the quad: one at the uncovered corner (pre-test culls
+    # the real triangle hit), one near the center (normal hit)
+    o = jnp.asarray([[4.2, 1.5, 5.0], [7.0, -4.0, 5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], jnp.float32)
+    hit = intersect_scene(o, d, bufs, mode="exact")
+    assert not bool(hit.found[0])  # culled by the (buggy) pre-test
+    assert bool(hit.found[1])
