@@ -18,13 +18,25 @@ MASK64 = (1 << 64) - 1
 
 
 def hash_image(pixels: np.ndarray) -> int:
-    """FNV-1a over the little-endian f32 bit patterns of all components."""
+    """Digest over the f32 bit patterns of all components.
+
+    Native path: FNV-1a (C++, ~GB/s). Python fallback: blake2b — FNV is
+    inherently byte-sequential and a Python loop costs seconds per megapixel
+    frame (the hash is a cache key; only self-consistency matters, so the
+    two paths need not agree with each other)."""
     from path_tracer_tpu.native import native_hash_image
 
     native = native_hash_image(np.asarray(pixels, np.float32))
     if native is not None:
         return native
+    import hashlib
+
     data = np.ascontiguousarray(pixels, np.float32).tobytes()
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+def fnv1a(data: bytes) -> int:
+    """Reference FNV-1a 64 (used by tests to validate the native encoder)."""
     h = FNV_OFFSET
     for b in data:
         h = ((h ^ b) * FNV_PRIME) & MASK64

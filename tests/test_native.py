@@ -47,15 +47,11 @@ def test_ppm_body_matches_python():
     assert body == expected
 
 
-def test_hash_matches_python():
-    from path_tracer_tpu.utils.hashing import FNV_OFFSET, FNV_PRIME, MASK64
+def test_hash_matches_reference_fnv():
+    from path_tracer_tpu.utils.hashing import fnv1a
 
     px = np.arange(30, dtype=np.float32) / 7.0
-    h_native = native.native_hash_image(px)
-    h = FNV_OFFSET
-    for b in px.tobytes():
-        h = ((h ^ b) * FNV_PRIME) & MASK64
-    assert h_native == h
+    assert native.native_hash_image(px) == fnv1a(px.tobytes())
 
 
 def test_morton_codes():
