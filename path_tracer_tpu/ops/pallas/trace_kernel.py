@@ -51,10 +51,23 @@ def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
+TRI_TILE = 128  # triangles per culling tile (sublane-aligned)
+TILE_THRESHOLD = 192  # tile + cull only above this many triangles
+
+
 def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
     """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
     sublane multiples using guaranteed-miss entries; plus the [M,T] 0/1 gate
-    matrix mapping mesh bounding spheres to their triangles."""
+    matrix mapping mesh bounding spheres to their triangles.
+
+    Scenes with many triangles additionally get Morton-ordered culling tiles
+    (the TPU-native BVH analog, survey §7 phase 5): triangles are sorted by
+    centroid Morton code and grouped into TRI_TILE-sized tiles with bounding
+    spheres; the kernel tests each tile's bound against the whole ray block
+    and skips the tile's Möller–Trumbore work when NO lane can hit it —
+    block-level divergence is a scalar branch on TPU, so coherent blocks
+    skip most of the scene. (Tie-breaks then follow Morton order rather
+    than the reference's object order — distance ties are measure-zero.)"""
     # pack_scene already padded these with guaranteed-miss entries
     S = packed.sph_radius.shape[0]
     T = packed.tri_v.shape[0]
@@ -67,10 +80,6 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
 
     sc = packed
     import path_tracer_tpu.ops.intersect as intersect_ops
-
-    coeffs = jax.tree.map(
-        np.asarray, intersect_ops.triangle_coeffs(jnp.asarray(sc.tri_v))
-    )
 
     # The reference's bounding-sphere pre-test (mod.rs:265-279) exists to
     # skip triangle loops on the CPU; on TPU all lanes compute anyway, so it
@@ -90,9 +99,91 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
             contained = False
             break
 
-    gate = np.zeros((M, T), np.float32)
-    for t in range(sc.num_triangles):
-        gate[sc.tri_mesh[t], t] = 1.0
+    # --- Morton-ordered culling tiles for triangle-heavy scenes ---
+    # (tiling reorders triangles, which is incompatible with the [M,T] gate
+    # matrix — only tile when the pre-test was dropped, i.e. `contained`)
+    tri_v = np.asarray(sc.tri_v, np.float32)
+    tri_normal = np.asarray(sc.tri_normal, np.float32)
+    tri_color = np.asarray(sc.tri_color, np.float32)
+    tri_emis = np.asarray(sc.tri_emis, np.float32)
+    tri_rtype = np.asarray(sc.tri_rtype, np.float32)
+    tri_order = np.minimum(np.asarray(sc.tri_order), 2**24).astype(np.float32)
+    tiles = None
+    if contained and sc.num_triangles > TILE_THRESHOLD:
+        nt = sc.num_triangles
+        verts_all = tri_v[:nt]
+        cent = verts_all.mean(axis=1)
+        # triangles nearly as large as the scene (walls) would bloat any
+        # tile bound → keep them in an always-tested base set at the front
+        tri_rad = np.sqrt(((verts_all - cent[:, None, :]) ** 2).sum(-1)).max(1)
+        scene_diag = float(
+            np.linalg.norm(
+                verts_all.reshape(-1, 3).max(0) - verts_all.reshape(-1, 3).min(0)
+            )
+        )
+        big = tri_rad > 0.125 * scene_diag
+        small_idx = np.where(~big)[0]
+
+        lo = cent[small_idx].min(axis=0)
+        span = np.maximum(cent[small_idx].max(axis=0) - lo, 1e-9)
+        norm = np.clip((cent[small_idx] - lo) / span, 0.0, 0.999999).astype(
+            np.float32
+        )
+        from path_tracer_tpu.native import native_morton3d
+
+        codes = native_morton3d(norm)
+        if codes is None:  # python fallback
+            q = (norm * 1024).astype(np.uint32)
+
+            def expand(v):
+                v = (v * 0x00010001) & 0xFF0000FF
+                v = (v * 0x00000101) & 0x0F00F00F
+                v = (v * 0x00000011) & 0xC30C30C3
+                v = (v * 0x00000005) & 0x49249249
+                return v
+
+            codes = (
+                (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
+            )
+        small_sorted = small_idx[np.argsort(codes, kind="stable")]
+
+        n_base = int(big.sum())
+        base_pad = max(((n_base + 7) // 8) * 8, 8)
+        C = -(-len(small_sorted) // TRI_TILE)
+        T = base_pad + C * TRI_TILE
+        order = np.concatenate([np.where(big)[0], small_sorted])
+        dst = np.concatenate(
+            [np.arange(n_base), base_pad + np.arange(len(small_sorted))]
+        )
+
+        def reorder(a, fill=0.0):
+            out = np.full((T,) + a.shape[1:], fill, a.dtype)
+            out[dst] = a[:nt][order]
+            return out
+
+        tri_v = reorder(tri_v, 1e30)  # padding: degenerate + far away
+        tri_normal = reorder(tri_normal)
+        tri_color = reorder(tri_color)
+        tri_emis = reorder(tri_emis)
+        tri_rtype = reorder(tri_rtype)
+        tri_order = reorder(tri_order, 1.0e9)
+
+        tile_center = np.zeros((C, 3), np.float32)
+        tile_rad2 = np.zeros(C, np.float32)
+        for c in range(C):
+            verts = tri_v[base_pad + c * TRI_TILE : base_pad + (c + 1) * TRI_TILE]
+            verts = verts[verts[:, 0, 0] < 1e29].reshape(-1, 3)
+            if len(verts) == 0:
+                tile_center[c] = 1e30
+                continue
+            ctr = 0.5 * (verts.min(axis=0) + verts.max(axis=0))
+            tile_center[c] = ctr
+            tile_rad2[c] = (((verts - ctr) ** 2).sum(axis=1).max()) * (1 + 1e-5)
+        tiles = (tile_center, tile_rad2, C, base_pad)
+
+    coeffs = jax.tree.map(
+        np.asarray, intersect_ops.triangle_coeffs(jnp.asarray(tri_v))
+    )
 
     order_fill = 1.0e9
     bufs = {
@@ -110,15 +201,22 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         "tri_e2xa": prep(coeffs["e2xa"], T),
         "tri_axe1": prep(coeffs["axe1"], T),
         "tri_na": prep(coeffs["na"], T),
-        "tri_normal": prep(sc.tri_normal, T),
-        "tri_color": prep(sc.tri_color, T),
-        "tri_emis": prep(sc.tri_emis, T),
-        "tri_rtype": prep(sc.tri_rtype.astype(np.float32), T),
-        "tri_order": prep(
-            np.minimum(sc.tri_order, 2**24).astype(np.float32), T, order_fill
-        ),
+        "tri_normal": prep(tri_normal, T),
+        "tri_color": prep(tri_color, T),
+        "tri_emis": prep(tri_emis, T),
+        "tri_rtype": prep(tri_rtype, T),
+        "tri_order": prep(tri_order, T, order_fill),
     }
+    if tiles is not None:
+        tile_center, tile_rad2, _, _ = tiles
+        # the always-tested base set size is recoverable statically as
+        # T - C*TRI_TILE (trace_pallas derives it from the array shapes)
+        bufs["tile_center"] = prep(tile_center, tile_center.shape[0])
+        bufs["tile_rad2"] = prep(tile_rad2, tile_rad2.shape[0])
     if not contained:
+        gate = np.zeros((M, T), np.float32)
+        for t in range(sc.num_triangles):
+            gate[sc.tri_mesh[t], t] = 1.0
         bufs["bnd_center"] = prep(sc.bnd_center, M, 1e30)
         bufs["bnd_rad2"] = prep(np.asarray(sc.bnd_radius) ** 2, M)
         bufs["gate"] = gate
@@ -253,7 +351,8 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
 
 
 def _make_kernel(
-    S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest
+    S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
+    n_tiles=0, tile_base=0,
 ):
     """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
 
@@ -279,6 +378,8 @@ def _make_kernel(
         ) = rest
         if pretest:
             bnd_center, bnd_rad2, gate, *rest = rest
+        if n_tiles:
+            tile_center, tile_rad2, *rest = rest
         (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
@@ -310,10 +411,8 @@ def _make_kernel(
         if pretest:
             bndc = [tcol(bnd_center, k) for k in range(3)]
             bnd_r2 = bnd_rad2[0, :][:, None]
-        tri_na_c = tri_na[0, :][:, None]
         # tpu.iota only produces integers — build f32 indices via cast
         sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
-        tri_idx = jax.lax.broadcasted_iota(jnp.int32, (T, B), 0).astype(jnp.float32)
 
         def body(s, carry):
             o, d, thr, acc, alive_f, prev, counts = carry
@@ -337,46 +436,108 @@ def _make_kernel(
                 o[0] * d[1] - o[1] * d[0],
             ]
 
-            def dotT(tab, vec):  # [3,T] x 3x[1,B] -> [T,B]
+            def tri_block(lo, size):
+                """Intersect triangles [lo, lo+size) (static slice); returns
+                per-ray (d_t, i_t, normal3, color3, emis3, rtype, order)."""
+
+                def col(tab, k):
+                    return tab[k, lo : lo + size][:, None]
+
+                def dotT(tab, vec):  # [3,size] x 3x[1,B] -> [size,B]
+                    return (
+                        col(tab, 0) * vec[0]
+                        + col(tab, 1) * vec[1]
+                        + col(tab, 2) * vec[2]
+                    )
+
+                idx = (
+                    jax.lax.broadcasted_iota(jnp.int32, (size, B), 0)
+                    .astype(jnp.float32)
+                    + float(lo)
+                )
+                det = -dotT(tri_n, d)
+                udet = dotT(tri_e2, m) - dotT(tri_e2xa, d)
+                vdet = -dotT(tri_e1, m) - dotT(tri_axe1, d)
+                tdet = dotT(tri_n, o) - tri_na[0, lo : lo + size][:, None]
+
+                dvalid = jnp.abs(det) >= EPS_TRI_DET
+                inv = 1.0 / jnp.where(dvalid, det, 1.0)
+                u_ = udet * inv
+                v_ = vdet * inv
+                t_ = tdet * inv
+                valid = (
+                    dvalid
+                    & (u_ >= 0.0) & (u_ <= 1.0)
+                    & (v_ >= 0.0) & (u_ + v_ <= 1.0)
+                    & (t_ > EPS_TRI_T)
+                    & (idx != prev)
+                )
+                if pretest:
+                    valid &= tri_ok[lo : lo + size] > 0.0
+                t_tri = jnp.where(valid, t_, BIG)
+                d_t, oh_t, i_t = _first_min_sublane(t_tri, idx)
+
+                def read_t(tab, k):
+                    return jnp.sum(col(tab, k) * oh_t, axis=0, keepdims=True)
+
                 return (
-                    tcol(tab, 0) * vec[0]
-                    + tcol(tab, 1) * vec[1]
-                    + tcol(tab, 2) * vec[2]
+                    d_t,
+                    i_t,
+                    [read_t(tri_normal, k) for k in range(3)],
+                    [read_t(tri_color, k) for k in range(3)],
+                    [read_t(tri_emis, k) for k in range(3)],
+                    read_t(tri_rtype, 0),
+                    read_t(tri_order, 0),
                 )
 
-            det = -dotT(tri_n, d)
-            udet = dotT(tri_e2, m) - dotT(tri_e2xa, d)
-            vdet = -dotT(tri_e1, m) - dotT(tri_axe1, d)
-            tdet = dotT(tri_n, o) - tri_na_c
+            if not n_tiles:
+                d_t, i_t, trin, tric, trie, trirt, triord = tri_block(0, T)
+            else:
+                # block-coherent tile culling: test each Morton tile's bound
+                # against the whole ray block; skip its triangles when no
+                # live lane can hit it (scalar branch — cheap on TPU).
+                # Oversized triangles (walls) live in an always-tested base
+                # set at the front of the tables.
+                tilec = [tcol(tile_center, k) for k in range(3)]
+                tile_r2 = tile_rad2[0, :][:, None]
+                t_tl = _sphere_t(tilec, tile_r2, o, d)  # [C,B]
+                tl_hit = (t_tl < BIG) & (alive_f > 0.0)  # [C,B]
 
-            dvalid = jnp.abs(det) >= EPS_TRI_DET
-            inv = 1.0 / jnp.where(dvalid, det, 1.0)
-            u_ = udet * inv
-            v_ = vdet * inv
-            t_ = tdet * inv
-            valid = (
-                dvalid
-                & (u_ >= 0.0) & (u_ <= 1.0)
-                & (v_ >= 0.0) & (u_ + v_ <= 1.0)
-                & (t_ > EPS_TRI_T)
-                & (tri_idx != prev)
-            )
-            if pretest:
-                valid &= tri_ok > 0.0
-            t_tri = jnp.where(valid, t_, BIG)
+                d_t, i_t, trin, tric, trie, trirt, triord = tri_block(
+                    0, tile_base
+                )
+                miss1 = jnp.full((1, B), BIG)
+                zero3 = [jnp.zeros((1, B)) for _ in range(3)]
+                skip_val = (
+                    miss1, jnp.full((1, B), -1.0),
+                    zero3, list(zero3), list(zero3),
+                    jnp.zeros((1, B)), jnp.full((1, B), 1.0e9),
+                )
+                for c in range(n_tiles):
+                    any_hit = jnp.sum(tl_hit[c, :].astype(jnp.float32)) > 0.0
+                    res = jax.lax.cond(
+                        any_hit,
+                        lambda lo=tile_base + c * TRI_TILE: tri_block(
+                            lo, TRI_TILE
+                        ),
+                        lambda: skip_val,
+                    )
+                    better = res[0] < d_t  # strictly closer: Morton-order ties
+                    d_t = jnp.where(better, res[0], d_t)
+                    i_t = jnp.where(better, res[1], i_t)
+                    trin = [jnp.where(better, res[2][k], trin[k]) for k in range(3)]
+                    tric = [jnp.where(better, res[3][k], tric[k]) for k in range(3)]
+                    trie = [jnp.where(better, res[4][k], trie[k]) for k in range(3)]
+                    trirt = jnp.where(better, res[5], trirt)
+                    triord = jnp.where(better, res[6], triord)
 
             d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
-            d_t, oh_t, i_t = _first_min_sublane(t_tri, tri_idx)
 
             def read_s(tab, k):  # [1,B]
                 return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
 
-            def read_t(tab, k):
-                return jnp.sum(tcol(tab, k) * oh_t, axis=0, keepdims=True)
-
             order_s = read_s(sph_order, 0)
-            order_t = read_t(tri_order, 0)
-            sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < order_t))
+            sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < triord))
             t = jnp.where(sph_wins, d_s, d_t)
             found = (t < BIG) & alive
 
@@ -385,19 +546,16 @@ def _make_kernel(
             sl = jax.lax.rsqrt(
                 jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
             )
-            nrm = [
-                jnp.where(sph_wins, sn[k] * sl, read_t(tri_normal, k))
-                for k in range(3)
-            ]
+            nrm = [jnp.where(sph_wins, sn[k] * sl, trin[k]) for k in range(3)]
             color = [
-                jnp.where(sph_wins, read_s(sph_color, k), read_t(tri_color, k))
+                jnp.where(sph_wins, read_s(sph_color, k), tric[k])
                 for k in range(3)
             ]
             emis = [
-                jnp.where(sph_wins, read_s(sph_emis, k), read_t(tri_emis, k))
+                jnp.where(sph_wins, read_s(sph_emis, k), trie[k])
                 for k in range(3)
             ]
-            rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), read_t(tri_rtype, 0))
+            rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
             new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
 
             if fixed_uniforms:
@@ -440,6 +598,7 @@ def _make_kernel(
 
 _SPH_KEYS = "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order".split()
 _BND_KEYS = "bnd_center bnd_rad2 gate".split()
+_TILE_KEYS = "tile_center tile_rad2".split()
 _TRI_KEYS = (
     "tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
     "tri_normal tri_color tri_emis tri_rtype tri_order"
@@ -447,8 +606,12 @@ _TRI_KEYS = (
 
 
 def _scene_keys(kscene: dict) -> list[str]:
-    pretest = "gate" in kscene
-    return _SPH_KEYS + (_BND_KEYS if pretest else []) + _TRI_KEYS
+    keys = list(_SPH_KEYS)
+    if "gate" in kscene:
+        keys += _BND_KEYS
+    if "tile_rad2" in kscene:
+        keys += _TILE_KEYS
+    return keys + _TRI_KEYS
 
 
 @functools.partial(
@@ -489,9 +652,12 @@ def trace_pallas(
 
     fixed = uniforms is not None
     pretest = "gate" in kscene
+    n_tiles = kscene["tile_rad2"].shape[1] if "tile_rad2" in kscene else 0
+    tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
     scene_keys = _scene_keys(kscene)
     kernel = _make_kernel(
-        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest
+        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest,
+        n_tiles=n_tiles, tile_base=tile_base,
     )
     grid = (n // block,)
 

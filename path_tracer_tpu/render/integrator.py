@@ -220,16 +220,22 @@ def render_pass(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     mode: str = "fast",
+    pixel_perm=None,
 ):
     """One device dispatch: all pixels × samples_in_pass samples.
 
     accum: [W*H, 3] running radiance sum (donated). pass_idx selects which
     global sample indices this pass covers and seeds the RNG stream.
+    pixel_perm [W*H] i32 (optional): pixel visit order — a Morton (Z-order)
+    permutation makes each kernel ray-block a compact screen tile, which is
+    what lets the Pallas tile-culling skip geometry per block. accum stays
+    in permuted order (callers unpermute once at finalize).
     Returns (accum', rays_traced).
     """
     npix = width * height
     k = samples_in_pass
-    pixel_idx = jnp.repeat(jnp.arange(npix, dtype=jnp.int32), k)
+    base = jnp.arange(npix, dtype=jnp.int32) if pixel_perm is None else pixel_perm
+    pixel_idx = jnp.repeat(base, k)
     sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + pass_idx * k
     key = rng.chunk_key(base_key, pass_idx)
 

@@ -106,6 +106,28 @@ def _pick_samples_per_pass(npix: int, spp: int, budget: int) -> int:
     return min(k, spp)
 
 
+def morton_pixel_order(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
+    """(perm, inv): Z-order traversal of the pixel grid. Lane blocks then
+    cover compact screen tiles (spatial coherence for kernel tile-culling).
+    perm[i] = pixel index visited i-th; inv is its inverse."""
+    p = np.arange(width * height, dtype=np.int64)
+    row = p // width
+    col = p % width
+
+    def spread(v):  # 16-bit -> even bit positions
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (spread(row) << 1) | spread(col)
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    return perm, inv
+
+
 def render(
     scene: SceneDescriptor,
     config: RenderConfig,
@@ -148,6 +170,16 @@ def render(
     )
     full_passes, remainder = divmod(spp, k)
 
+    # Z-order pixel traversal (see morton_pixel_order); accum lives in
+    # permuted order until finalize. Only the single-device path uses it.
+    perm = inv_perm = None
+    if pass_runner is None:
+        perm_np, inv_perm = morton_pixel_order(res.width, res.height)
+        perm = jnp.asarray(perm_np)
+
+    def unpermute(arr: np.ndarray) -> np.ndarray:
+        return arr if inv_perm is None else arr[inv_perm]
+
     accum = accum_init if accum_init is not None else jnp.zeros((npix, 3), jnp.float32)
     samples_done = 0
     pass_start = 0
@@ -184,6 +216,7 @@ def render(
             max_depth=config.max_depth,
             rr_start_depth=config.rr_start_depth,
             mode=mode,
+            pixel_perm=perm,
         )
 
     last_update = 0.0
@@ -201,7 +234,7 @@ def render(
         if progress_snapshots and samples_done > 0:
             partial = integrator.finalize(accum, samples_done)
             # accum may be padded beyond the framebuffer (sharded execution)
-            img = Image.new(np.asarray(partial)[:npix], res)
+            img = Image.new(unpermute(np.asarray(partial)[:npix]), res)
         progress(
             RenderUpdate(
                 progress=samples_done / spp,
@@ -254,7 +287,7 @@ def render(
     duration = time.perf_counter() - t_start
     stats.wall_seconds = duration
 
-    image = Image.new(np.asarray(final)[:npix], res)
+    image = Image.new(unpermute(np.asarray(final)[:npix]), res)
     if verbose:
         print("Rendering complete" if not cancelled else "Rendering cancelled")
 

@@ -86,11 +86,19 @@ def test_kernel_stepped_equals_megakernel(all_scenes):
 def test_kernel_scene_buffers_shapes(all_scenes):
     packed = pt.pack_scene(all_scenes["mesh"])
     ks = tk.kernel_scene_buffers(packed)
-    T = packed.tri_v.shape[0]
-    assert ks["tri_n"].shape == (3, T)
     # all built-in meshes are contained in their (buggy) bounding spheres,
     # so the pre-test is a no-op and gets dropped from the kernel tables
     assert "gate" not in ks
+    # 824 triangles > TILE_THRESHOLD → Morton culling tiles + a base set of
+    # oversized (wall) triangles; T = base_pad + C*TRI_TILE
+    assert "tile_rad2" in ks
+    C = ks["tile_rad2"].shape[1]
+    T = ks["tri_n"].shape[1]
+    base = T - C * tk.TRI_TILE
+    assert C >= 1 and base >= 8
+    # cornell (14 tris) stays untiled
+    ks2 = tk.kernel_scene_buffers(pt.pack_scene(all_scenes["cornell"]))
+    assert "tile_rad2" not in ks2
 
 
 def test_pretest_kept_when_sphere_does_not_contain_mesh():
