@@ -36,11 +36,14 @@ def main():
 
     scene = pt.load_scene("cornell", "scenes")
     cfg = RenderConfig(samples_per_pixel=spp, resolution=Resolution(height, width))
-    bufs, mode = prepare_scene_and_mode(scene, backend)
+    bufs, mode = prepare_scene_and_mode(scene, backend, cfg.resolution)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
 
-    k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
+    if mode.startswith("pallas3"):
+        k = min(spp, 64)
+    else:
+        k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)
 
     def run_pass(accum, i):

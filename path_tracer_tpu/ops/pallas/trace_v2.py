@@ -33,6 +33,7 @@ from path_tracer_tpu.models.scene import ScenePacked
 from path_tracer_tpu.ops.pallas.trace_kernel import _uniform, shade_phase
 
 BIG = 3.0e38
+_EARLY_EXIT = True  # toggled for Mosaic debugging
 EPS_SPHERE = 1e-4
 EPS_TRI_DET = 1e-4
 EPS_TRI_T = 1e-4
@@ -124,8 +125,105 @@ def register_scene(key: str, consts: tuple) -> None:
     _SCENES[key] = consts
 
 
+def make_prim_scan(prims, bnd):
+    """Build the static sequential primitive scan: (o, d, prev) →
+    (tmin, color3, emis3, aux3(center|normal), rtype, is_sphere, prev_id).
+    Shared by the plain (v2) and regenerative (v3) kernels."""
+
+    def scan(o, d, prev):
+        m = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+        gates = []
+        for (cx, cy, cz), r2 in bnd:
+            op = [cx - o[0], cy - o[1], cz - o[2]]
+            b = op[0] * d[0] + op[1] * d[1] + op[2] * d[2]
+            det = b * b - (op[0] ** 2 + op[1] ** 2 + op[2] ** 2) + r2
+            sq = jnp.sqrt(jnp.maximum(det, 0.0))
+            ok = (det >= 0.0) & ((b - sq >= EPS_SPHERE) | (b + sq >= EPS_SPHERE))
+            gates.append(ok)
+
+        tmin = jnp.full_like(o[0], BIG)
+        h_color = [jnp.zeros_like(o[0]) for _ in range(3)]
+        h_emis = [jnp.zeros_like(o[0]) for _ in range(3)]
+        h_aux = [jnp.zeros_like(o[0]) for _ in range(3)]
+        h_rtype = jnp.zeros_like(o[0])
+        h_sph = jnp.zeros_like(o[0])
+        h_prev = jnp.full_like(o[0], -1.0)
+
+        for prim in prims:
+            if prim[0] == "s":
+                _, (cx, cy, cz), r2, color, emis, rtype = prim
+                op = [cx - o[0], cy - o[1], cz - o[2]]
+                b = op[0] * d[0] + op[1] * d[1] + op[2] * d[2]
+                det = b * b - (op[0] ** 2 + op[1] ** 2 + op[2] ** 2) + r2
+                sq = jnp.sqrt(jnp.maximum(det, 0.0))
+                t_near = b - sq
+                t_far = b + sq
+                t_p = jnp.where(
+                    t_near >= EPS_SPHERE,
+                    t_near,
+                    jnp.where(t_far >= EPS_SPHERE, t_far, BIG),
+                )
+                t_p = jnp.where(det < 0.0, BIG, t_p)
+                aux = (cx, cy, cz)
+                is_sph, previd = 1.0, -1.0
+            else:
+                (_, a, e1, e2, n, nu, color, emis, rtype, previd, gate_id) = prim
+                det = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
+                udet = (
+                    m[0] * e2[0] + m[1] * e2[1] + m[2] * e2[2]
+                ) - (
+                    d[0] * (e2[1] * a[2] - e2[2] * a[1])
+                    + d[1] * (e2[2] * a[0] - e2[0] * a[2])
+                    + d[2] * (e2[0] * a[1] - e2[1] * a[0])
+                )
+                vdet = -(
+                    m[0] * e1[0] + m[1] * e1[1] + m[2] * e1[2]
+                ) - (
+                    d[0] * (a[1] * e1[2] - a[2] * e1[1])
+                    + d[1] * (a[2] * e1[0] - a[0] * e1[2])
+                    + d[2] * (a[0] * e1[1] - a[1] * e1[0])
+                )
+                na = a[0] * n[0] + a[1] * n[1] + a[2] * n[2]
+                tdet = (o[0] * n[0] + o[1] * n[1] + o[2] * n[2]) - na
+                dvalid = jnp.abs(det) >= EPS_TRI_DET
+                inv = 1.0 / jnp.where(dvalid, det, 1.0)
+                u_ = udet * inv
+                v_ = vdet * inv
+                t_p = tdet * inv
+                valid = (
+                    dvalid
+                    & (u_ >= 0.0) & (u_ <= 1.0)
+                    & (v_ >= 0.0) & (u_ + v_ <= 1.0)
+                    & (t_p > EPS_TRI_T)
+                    & (prev != previd)
+                )
+                if gate_id >= 0:
+                    valid &= gates[gate_id]
+                t_p = jnp.where(valid, t_p, BIG)
+                aux = nu
+                is_sph = 0.0
+
+            better = t_p < tmin  # strictly closer — first-wins on ties
+            tmin = jnp.where(better, t_p, tmin)
+            for k in range(3):
+                h_color[k] = jnp.where(better, color[k], h_color[k])
+                h_emis[k] = jnp.where(better, emis[k], h_emis[k])
+                h_aux[k] = jnp.where(better, aux[k], h_aux[k])
+            h_rtype = jnp.where(better, rtype, h_rtype)
+            h_sph = jnp.where(better, is_sph, h_sph)
+            h_prev = jnp.where(better, previd, h_prev)
+        return tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev
+
+    return scan
+
+
 def _make_kernel_v2(consts, L, n_steps, max_depth, rr_start_depth, fixed_uniforms):
     prims, bnd = consts
+    prim_scan = make_prim_scan(prims, bnd)
 
     def kernel(seed_ref, o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref,
                *rest):
@@ -154,97 +252,9 @@ def _make_kernel_v2(consts, L, n_steps, max_depth, rr_start_depth, fixed_uniform
             alive = alive_f > 0.0
             counts = counts + alive_f
 
-            m = [
-                o[1] * d[2] - o[2] * d[1],
-                o[2] * d[0] - o[0] * d[2],
-                o[0] * d[1] - o[1] * d[0],
-            ]
-            # uncontained-mesh bounding spheres (almost always empty)
-            gates = []
-            for (cx, cy, cz), r2 in bnd:
-                op = [cx - o[0], cy - o[1], cz - o[2]]
-                b = op[0] * d[0] + op[1] * d[1] + op[2] * d[2]
-                det = b * b - (op[0] ** 2 + op[1] ** 2 + op[2] ** 2) + r2
-                sq = jnp.sqrt(jnp.maximum(det, 0.0))
-                ok = (det >= 0.0) & (
-                    (b - sq >= EPS_SPHERE) | (b + sq >= EPS_SPHERE)
-                )
-                gates.append(ok)
-
-            # --- sequential scan over primitives (mod.rs:631-659 order) ---
-            tmin = jnp.full_like(o[0], BIG)
-            h_color = [jnp.zeros_like(o[0]) for _ in range(3)]
-            h_emis = [jnp.zeros_like(o[0]) for _ in range(3)]
-            h_aux = [jnp.zeros_like(o[0]) for _ in range(3)]  # center | normal
-            h_rtype = jnp.zeros_like(o[0])
-            h_sph = jnp.zeros_like(o[0])  # 1.0 = sphere winner
-            h_prev = jnp.full_like(o[0], -1.0)
-
-            for prim in prims:
-                if prim[0] == "s":
-                    _, (cx, cy, cz), r2, color, emis, rtype = prim
-                    op = [cx - o[0], cy - o[1], cz - o[2]]
-                    b = op[0] * d[0] + op[1] * d[1] + op[2] * d[2]
-                    det = b * b - (op[0] ** 2 + op[1] ** 2 + op[2] ** 2) + r2
-                    sq = jnp.sqrt(jnp.maximum(det, 0.0))
-                    t_near = b - sq
-                    t_far = b + sq
-                    t_p = jnp.where(
-                        t_near >= EPS_SPHERE,
-                        t_near,
-                        jnp.where(t_far >= EPS_SPHERE, t_far, BIG),
-                    )
-                    t_p = jnp.where(det < 0.0, BIG, t_p)
-                    aux = (cx, cy, cz)
-                    is_sph, previd, gate_id = 1.0, -1.0, -1
-                else:
-                    (_, a, e1, e2, n, nu, color, emis, rtype, previd,
-                     gate_id) = prim
-                    det = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
-                    udet = (
-                        m[0] * e2[0] + m[1] * e2[1] + m[2] * e2[2]
-                    ) - (
-                        d[0] * (e2[1] * a[2] - e2[2] * a[1])
-                        + d[1] * (e2[2] * a[0] - e2[0] * a[2])
-                        + d[2] * (e2[0] * a[1] - e2[1] * a[0])
-                    )
-                    vdet = -(
-                        m[0] * e1[0] + m[1] * e1[1] + m[2] * e1[2]
-                    ) - (
-                        d[0] * (a[1] * e1[2] - a[2] * e1[1])
-                        + d[1] * (a[2] * e1[0] - a[0] * e1[2])
-                        + d[2] * (a[0] * e1[1] - a[1] * e1[0])
-                    )
-                    na = a[0] * n[0] + a[1] * n[1] + a[2] * n[2]
-                    tdet = (o[0] * n[0] + o[1] * n[1] + o[2] * n[2]) - na
-                    dvalid = jnp.abs(det) >= EPS_TRI_DET
-                    inv = 1.0 / jnp.where(dvalid, det, 1.0)
-                    u_ = udet * inv
-                    v_ = vdet * inv
-                    t_p = tdet * inv
-                    valid = (
-                        dvalid
-                        & (u_ >= 0.0) & (u_ <= 1.0)
-                        & (v_ >= 0.0) & (u_ + v_ <= 1.0)
-                        & (t_p > EPS_TRI_T)
-                        & (prev != previd)
-                    )
-                    if gate_id >= 0:
-                        valid &= gates[gate_id]
-                    t_p = jnp.where(valid, t_p, BIG)
-                    aux = nu
-                    is_sph = 0.0
-
-                better = t_p < tmin  # strictly closer — first-wins on ties
-                tmin = jnp.where(better, t_p, tmin)
-                for k in range(3):
-                    h_color[k] = jnp.where(better, color[k], h_color[k])
-                    h_emis[k] = jnp.where(better, emis[k], h_emis[k])
-                    h_aux[k] = jnp.where(better, aux[k], h_aux[k])
-                h_rtype = jnp.where(better, rtype, h_rtype)
-                h_sph = jnp.where(better, is_sph, h_sph)
-                h_prev = jnp.where(better, previd, h_prev)
-
+            tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = prim_scan(
+                o, d, prev
+            )
             found = (tmin < BIG) & alive
             point = [o[k] + d[k] * tmin for k in range(3)]
             sn = [point[k] - h_aux[k] for k in range(3)]
@@ -377,3 +387,227 @@ def trace_pallas_v2(
         total = total + jnp.sum(counts)
     acc = state[3]  # [3, rows, L]
     return acc.reshape(3, n).T, total
+
+
+# ---------------------------------------------------------------------------
+# v3: regenerative megakernel — lanes own pixels and restart samples in-kernel
+# ---------------------------------------------------------------------------
+
+
+def build_camera_consts(camera, width: int, height: int) -> tuple:
+    """Static raygen constants for in-kernel camera sampling."""
+    from path_tracer_tpu.render.raygen import camera_arrays
+
+    cam = camera_arrays(camera)
+    return (
+        tuple(map(f, cam["sensor_origin"])),
+        tuple(map(f, cam["su"])),
+        tuple(map(f, cam["sv"])),
+        tuple(map(f, cam["lens_center"])),
+        int(width),
+        int(height),
+    )
+
+
+def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
+    """Regenerative kernel: each lane owns one pixel and traces `quota`
+    camera samples to full completion, starting the next sample the moment
+    the previous path dies (no idle lanes until the tail). The step loop is
+    bounded by quota*max_depth but exits as soon as every lane in the block
+    has finished its quota (scalar lax.cond — all-done blocks skip the body).
+
+    Per-pixel sample counts are EXACT (quota per pass), so the estimator is
+    the same unbiased mean as the plain kernels — no length-biased partial
+    samples are ever counted.
+    """
+    prims, bnd = consts
+    prim_scan = make_prim_scan(prims, bnd)
+    (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
+    inv_w = f(1.0 / W)
+    inv_h = f(1.0 / H)
+
+    def kernel(seed_ref, pix_ref, rad_ref, count_ref):
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
+        )
+        sample_base = seed_ref[0, 1].astype(jnp.float32)
+
+        pix = pix_ref[0]  # (SUB, L) f32 pixel indices
+        # pixel -> (x, y) with the reference's y flip (mod.rs:805-806)
+        rowf = jnp.floor(pix * inv_w)
+        x = pix - rowf * W
+        y = (H - 1) - rowf
+
+        def raygen(s_idx, u1, u2):
+            """sample index + 2 uniforms → ray (mod.rs:812-843)."""
+            half = jnp.floor(s_idx * 0.5)
+            ysub = half - jnp.floor(half * 0.5) * 2.0  # (s//2) % 2
+            xsub = s_idx - half * 2.0  # s % 2
+            r1 = 2.0 * u1
+            r2 = 2.0 * u2
+            xf = jnp.where(
+                r1 < 1.0,
+                jnp.sqrt(r1) - 1.0,
+                1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)),
+            )
+            yf = jnp.where(
+                r2 < 1.0,
+                jnp.sqrt(r2) - 1.0,
+                1.0 - jnp.sqrt(jnp.maximum(2.0 - r2, 0.0)),
+            )
+            sx = (x + 0.5 * (0.5 + xsub + xf)) * inv_w - 0.5
+            sy = (y + 0.5 * (0.5 + ysub + yf)) * inv_h - 0.5
+            spx = sox + su[0] * sx + sv[0] * sy
+            spy = soy + su[1] * sx + sv[1] * sy
+            spz = soz + su[2] * sx + sv[2] * sy
+            dx, dy, dz = lcx - spx, lcy - spy, lcz - spz
+            dl = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            return [dx * dl, dy * dl, dz * dl]
+
+        # Mosaic trap: fori carries initialized from CONSTANTS get replicated
+        # vreg layouts, and PRNG-dependent updates inside the loop then crash
+        # layout inference in the compile helper. A zero derived from a PRNG
+        # draw is unfoldable and keeps the layouts concrete.
+        zero = jnp.minimum(_uniform((SUB, L)) * 0.0, 0.0)
+        state = {
+            "o": [zero + lcx, zero + lcy, zero + lcz],
+            "d": [zero, zero, zero + 1.0],
+            "thr": [zero, zero, zero],
+            "acc": [zero, zero, zero],
+            "alive": zero,           # no path in flight yet
+            "prev": zero - 1.0,
+            "depth": zero,           # current path depth
+            "done_samples": zero,    # completed samples this pass
+            "counts": zero,          # traced segments (for Mrays/s)
+        }
+
+        def step(_, st):
+            all_done = jnp.sum(
+                jnp.where(st["done_samples"] >= quota, 0.0, 1.0)
+            ) == 0.0
+
+            def active(st):
+                st = dict(st)
+                u = [_uniform((SUB, L)) for _ in range(6)]
+
+                # regenerate: lanes with no live path and samples remaining
+                need = (st["alive"] <= 0.0) & (st["done_samples"] < quota)
+                s_global = sample_base + st["done_samples"]
+                d_new = raygen(s_global, u[4], u[5])
+                one = jnp.ones_like(st["alive"])
+                for k, lc in enumerate((lcx, lcy, lcz)):
+                    st["o"][k] = jnp.where(need, lc, st["o"][k])
+                    st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
+                    st["thr"][k] = jnp.where(need, one, st["thr"][k])
+                st["prev"] = jnp.where(need, -1.0, st["prev"])
+                st["depth"] = jnp.where(need, 0.0, st["depth"])
+                st["alive"] = jnp.where(need, 1.0, st["alive"])
+
+                live = st["alive"] > 0.0
+                st["counts"] = st["counts"] + st["alive"]
+
+                tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = (
+                    prim_scan(st["o"], st["d"], st["prev"])
+                )
+                found = (tmin < BIG) & live
+                point = [st["o"][k] + st["d"][k] * tmin for k in range(3)]
+                sn = [point[k] - h_aux[k] for k in range(3)]
+                sl = jax.lax.rsqrt(
+                    jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+                )
+                sph_w = h_sph > 0.5
+                nrm = [
+                    jnp.where(sph_w, sn[k] * sl, h_aux[k]) for k in range(3)
+                ]
+
+                new_depth = st["depth"] + 1.0
+                acc, thr_new, d_new2, alive_new = shade_phase(
+                    st["d"], nrm, h_color, h_emis, h_rtype, found,
+                    st["thr"], st["acc"], u[:4],
+                    new_depth, max_depth, rr_start_depth,
+                )
+                am = alive_new.astype(jnp.float32)
+                # a path ends when it was live and did not survive the step
+                ended = live & ~alive_new
+                st["done_samples"] = st["done_samples"] + ended.astype(
+                    jnp.float32
+                )
+                st["acc"] = acc
+                st["o"] = [
+                    jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)
+                ]
+                st["d"] = [
+                    jnp.where(alive_new, d_new2[k], st["d"][k]) for k in range(3)
+                ]
+                st["thr"] = [thr_new[k] * am for k in range(3)]
+                st["prev"] = jnp.where(alive_new, h_prev, -1.0)
+                st["depth"] = new_depth
+                st["alive"] = am
+                return st
+
+            if _EARLY_EXIT:
+                return jax.lax.cond(all_done, lambda s: s, active, st)
+            return active(st)
+
+        st = jax.lax.fori_loop(0, quota * max_depth, step, state)
+        for k in range(3):
+            rad_ref[k] = st["acc"][k]
+        count_ref[0] = st["counts"]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scene_key", "cam_key", "quota", "max_depth", "rr_start_depth", "block"
+    ),
+)
+def trace_pallas_regen(
+    pixel_idx,
+    scene_key: str,
+    cam_key: str,
+    seed,
+    sample_base,
+    *,
+    quota: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 2048,
+):
+    """Regenerative trace: pixel_idx [N] i32 (one lane per pixel; N % block
+    == 0), each lane traces `quota` full samples with in-kernel raygen.
+    sample_base: global sample offset of this pass (for the 2x2 subpixel
+    grid). Returns (radiance_sum [N,3] — SUM over quota samples, rays f32).
+    """
+    consts = _SCENES[scene_key]
+    cam_consts = _SCENES[cam_key]
+    n = pixel_idx.shape[0]
+    if n % block or block % SUB:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+    L = block // SUB
+    rows = n // L
+
+    kernel = _make_kernel_v3(
+        consts, cam_consts, L, quota, max_depth, rr_start_depth
+    )
+
+    def rspec(k):
+        return pl.BlockSpec((k, SUB, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    rad, counts = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rspec(1)],
+        out_specs=(rspec(3), rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, rows, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows, L), jnp.float32),
+        ),
+    )(
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(sample_base, jnp.int32)]).reshape(1, 2),
+        pixel_idx.astype(jnp.float32).reshape(1, rows, L),
+    )
+    return rad.reshape(3, n).T, jnp.sum(counts)

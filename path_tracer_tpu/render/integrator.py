@@ -150,6 +150,30 @@ def render_samples(
     )
 
 
+def trace_with_kernel_regen(pixels, scene_key: str, cam_key: str, key,
+                            sample_base, *, quota: int, max_depth=12,
+                            rr_start_depth=5):
+    """Regenerative trace: pixels [P] i32 → (radiance SUM over quota [P,3],
+    rays). Pads the pixel array to the kernel block size (pad lanes redo
+    pixel 0 and are sliced off)."""
+    from path_tracer_tpu.ops.pallas.trace_v2 import trace_pallas_regen
+
+    n = pixels.shape[0]
+    block = 1024
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        pixels = jnp.concatenate(
+            [pixels, jnp.zeros(n_pad - n, pixels.dtype)]
+        )
+    seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+    rad, rays = trace_pallas_regen(
+        pixels, scene_key, cam_key, seed, sample_base,
+        quota=quota, max_depth=max_depth, rr_start_depth=rr_start_depth,
+        block=block,
+    )
+    return rad[:n], rays.astype(jnp.int32)
+
+
 def trace_with_kernel_v2(o, d, scene_key: str, key, *, max_depth=12,
                          rr_start_depth=5):
     """Trace via the ray-major static-scene kernel (block-padded)."""
@@ -235,9 +259,20 @@ def render_pass(
     npix = width * height
     k = samples_in_pass
     base = jnp.arange(npix, dtype=jnp.int32) if pixel_perm is None else pixel_perm
+    key = rng.chunk_key(base_key, pass_idx)
+
+    if mode.startswith("pallas3:"):
+        # regenerative kernel: one lane per pixel, k samples traced in-kernel
+        scene_key = mode.split(":", 1)[1]
+        rad_sum, rays = trace_with_kernel_regen(
+            base, scene_key, f"cam:{scene_key}:{width}x{height}", key,
+            pass_idx * k, quota=k, max_depth=max_depth,
+            rr_start_depth=rr_start_depth,
+        )
+        return accum + rad_sum, rays
+
     pixel_idx = jnp.repeat(base, k)
     sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + pass_idx * k
-    key = rng.chunk_key(base_key, pass_idx)
 
     result = render_samples(
         scene,

@@ -68,10 +68,14 @@ def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
     return bufs
 
 
-def prepare_scene_and_mode(scene: SceneDescriptor, backend: str) -> tuple[dict, str]:
+def prepare_scene_and_mode(
+    scene: SceneDescriptor, backend: str, resolution: Resolution | None = None
+) -> tuple[dict, str]:
     """Resolve the backend AND upgrade 'pallas' to the ray-major static-scene
-    kernel (mode 'pallas2:<key>') when the scene is small enough. The key is
-    a content digest routed statically through jit via the mode string."""
+    kernels when the scene is small enough: 'pallas3:<key>' (regenerative —
+    in-kernel raygen, lanes restart samples the moment a path dies) when the
+    resolution is known, else 'pallas2:<key>'. The key is a content digest
+    routed statically through jit via the mode string."""
     mode = resolve_backend(backend)
     bufs = prepare_scene(scene, mode)
     if mode == "pallas":
@@ -87,7 +91,15 @@ def prepare_scene_and_mode(scene: SceneDescriptor, backend: str) -> tuple[dict, 
                 dumps_scene_json(scene.to_json()).encode()
             ).hexdigest()[:16]
             trace_v2.register_scene(key, consts)
-            mode = f"pallas2:{key}"
+            if resolution is not None:
+                w, h = resolution.width, resolution.height
+                trace_v2.register_scene(
+                    f"cam:{key}:{w}x{h}",
+                    trace_v2.build_camera_consts(scene.camera, w, h),
+                )
+                mode = f"pallas3:{key}"
+            else:
+                mode = f"pallas2:{key}"
     return bufs, mode
 
 
@@ -161,13 +173,18 @@ def render(
     if device_buffers is not None:
         scene_bufs = device_buffers
     else:
-        scene_bufs, mode = prepare_scene_and_mode(scene, config.backend)
+        scene_bufs, mode = prepare_scene_and_mode(scene, config.backend, res)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(config.seed)
 
-    k = config.samples_per_pass or _pick_samples_per_pass(
-        npix, spp, DEFAULT_LANE_BUDGET
-    )
+    if config.samples_per_pass:
+        k = config.samples_per_pass
+    elif mode.startswith("pallas3"):
+        # regenerative kernel: state is per-PIXEL (not per-sample), so big
+        # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
+        k = min(spp, 64)
+    else:
+        k = _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     full_passes, remainder = divmod(spp, k)
 
     # Z-order pixel traversal (see morton_pixel_order); accum lives in
