@@ -54,6 +54,22 @@ def raygen_uniforms(key: jax.Array, shape, n: int = 2) -> jax.Array:
     return jax.random.uniform(k, tuple(shape) + (n,), dtype=jnp.float32)
 
 
+def mock_uniforms_traced(bounce, shape, n: int) -> jnp.ndarray:
+    """MOCK_RANDOM fixture for the wavefront: draw (lane, bounce, slot) maps
+    to MOCK_RANDOMS[(lane*max_slots*max_bounce + bounce*n + slot) % 9] — a
+    pure counter function (the reference's global atomic cursor cannot be
+    reproduced under parallelism; this keeps the fixture's determinism and
+    its 9-value cycle, documented deviation)."""
+    total = int(np.prod(shape))
+    table = jnp.asarray(MOCK_RANDOMS)
+    lane = jnp.arange(total, dtype=jnp.int32).reshape(tuple(shape) + (1,))
+    slot = jnp.arange(n, dtype=jnp.int32)
+    idx = (lane * (n * 16) + bounce.astype(jnp.int32) * n + slot) % len(
+        MOCK_RANDOMS
+    )
+    return table[idx]
+
+
 def mock_uniforms(counter_start: int, shape, n: int) -> jnp.ndarray:
     """Deterministic fixture: draw i returns MOCK_RANDOMS[i % 9], counting
     row-major over [*shape, n] starting at counter_start."""

@@ -50,8 +50,14 @@ def trace(
     rr_start_depth: int = 5,
     mode: str = "fast",
     unroll: int = 1,
+    mock_random: bool = False,
 ) -> TraceResult:
-    """Trace a batch of rays to completion. o, d: [N,3] f32."""
+    """Trace a batch of rays to completion. o, d: [N,3] f32.
+
+    mock_random: replace threefry with the reference's fixed 9-value cycle
+    (MOCK_RANDOM fixture, mod.rs:31-55) — draws are a pure function of
+    (lane, bounce, slot), giving bit-deterministic renders for debugging.
+    """
     n = o.shape[0]
     thr = jnp.ones((n, 3), jnp.float32)
     acc = jnp.zeros((n, 3), jnp.float32)
@@ -68,7 +74,10 @@ def trace(
         nd = jnp.sum(hit.normal * d, axis=-1)
         nl = jnp.where((nd < 0.0)[:, None], hit.normal, -hit.normal)
 
-        u = rng.bounce_uniforms(key, s, (n,), 4)  # rr, u1, u2, branch
+        if mock_random:
+            u = rng.mock_uniforms_traced(s, (n,), 4)
+        else:
+            u = rng.bounce_uniforms(key, s, (n,), 4)  # rr, u1, u2, branch
         new_depth = s + 1
 
         # Russian roulette (mod.rs:676-683): when new_depth > 5, survive with
@@ -123,11 +132,16 @@ def render_samples(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     mode: str = "fast",
+    mock_random: bool = False,
 ) -> TraceResult:
     """Generate camera rays for (pixel, sample) pairs and trace them."""
     from path_tracer_tpu.render.raygen import generate_rays
 
-    u = rng.raygen_uniforms(key, (pixel_idx.shape[0],), 2)
+    if mock_random:
+        # the fixture covers the tent-filter draws too (slot 15 = raygen)
+        u = rng.mock_uniforms_traced(jnp.int32(15), (pixel_idx.shape[0],), 2)
+    else:
+        u = rng.raygen_uniforms(key, (pixel_idx.shape[0],), 2)
     o, d = generate_rays(pixel_idx, sample_idx, u, cam, width, height)
     if mode.startswith("pallas2:"):
         return trace_with_kernel_v2(
@@ -147,6 +161,7 @@ def render_samples(
         max_depth=max_depth,
         rr_start_depth=rr_start_depth,
         mode=mode,
+        mock_random=mock_random,
     )
 
 
@@ -228,6 +243,7 @@ def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
         "max_depth",
         "rr_start_depth",
         "mode",
+        "mock_random",
     ),
     donate_argnames=("accum",),
 )
@@ -245,6 +261,7 @@ def render_pass(
     rr_start_depth: int = 5,
     mode: str = "fast",
     pixel_perm=None,
+    mock_random: bool = False,
 ):
     """One device dispatch: all pixels × samples_in_pass samples.
 
@@ -285,6 +302,7 @@ def render_pass(
         max_depth=max_depth,
         rr_start_depth=rr_start_depth,
         mode=mode,
+        mock_random=mock_random,
     )
     accum = accum + result.radiance.reshape(npix, k, 3).sum(axis=1)
     return accum, result.rays_traced

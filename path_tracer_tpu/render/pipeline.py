@@ -69,13 +69,23 @@ def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
 
 
 def prepare_scene_and_mode(
-    scene: SceneDescriptor, backend: str, resolution: Resolution | None = None
+    scene: SceneDescriptor,
+    backend: str,
+    resolution: Resolution | None = None,
+    regen: bool = True,
 ) -> tuple[dict, str]:
     """Resolve the backend AND upgrade 'pallas' to the ray-major static-scene
     kernels when the scene is small enough: 'pallas3:<key>' (regenerative —
     in-kernel raygen, lanes restart samples the moment a path dies) when the
-    resolution is known, else 'pallas2:<key>'. The key is a content digest
-    routed statically through jit via the mode string."""
+    resolution is known and regen=True, else 'pallas2:<key>'.
+
+    Keys are CONTENT digests routed statically through jit via the mode
+    string — the scene key covers the objects only (v2's kernel is
+    camera-free, so camera edits don't recompile it); the v3 camera key
+    additionally digests the camera+resolution, so a moved camera maps to a
+    fresh kernel rather than a stale cached one. Interactive callers that
+    move the camera every frame should pass regen=False.
+    """
     mode = resolve_backend(backend)
     bufs = prepare_scene(scene, mode)
     if mode == "pallas":
@@ -87,17 +97,24 @@ def prepare_scene_and_mode(
         packed = pack_scene(scene)
         consts = trace_v2.build_scene_consts(packed)
         if consts is not None:
-            key = hashlib.sha1(
-                dumps_scene_json(scene.to_json()).encode()
-            ).hexdigest()[:16]
+            objs_json = dumps_scene_json(
+                {"objects": [o.to_json() for o in scene.objects]}
+            )
+            key = hashlib.sha1(objs_json.encode()).hexdigest()[:16]
             trace_v2.register_scene(key, consts)
-            if resolution is not None:
+            if resolution is not None and regen:
                 w, h = resolution.width, resolution.height
+                cam_digest = hashlib.sha1(
+                    dumps_scene_json(scene.camera.to_json()).encode()
+                    + f":{w}x{h}".encode()
+                ).hexdigest()[:12]
+                key3 = f"{key}:{cam_digest}"
+                trace_v2.register_scene(key3, consts)
                 trace_v2.register_scene(
-                    f"cam:{key}:{w}x{h}",
+                    f"cam:{key3}:{w}x{h}",
                     trace_v2.build_camera_consts(scene.camera, w, h),
                 )
-                mode = f"pallas3:{key}"
+                mode = f"pallas3:{key3}"
             else:
                 mode = f"pallas2:{key}"
     return bufs, mode
@@ -172,6 +189,9 @@ def render(
     t_start = time.perf_counter()
     if device_buffers is not None:
         scene_bufs = device_buffers
+    elif config.mock_random:
+        mode = "fast" if mode not in ("fast", "exact") else mode
+        scene_bufs = prepare_scene(scene, mode)
     else:
         scene_bufs, mode = prepare_scene_and_mode(scene, config.backend, res)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
@@ -234,6 +254,7 @@ def render(
             rr_start_depth=config.rr_start_depth,
             mode=mode,
             pixel_perm=perm,
+            mock_random=config.mock_random,
         )
 
     last_update = 0.0

@@ -45,6 +45,9 @@ class RenderConfig:
 
     # RNG
     seed: int = 0
+    # MOCK_RANDOM fixture parity (mod.rs:31-55): deterministic 9-value
+    # cycle instead of threefry; XLA backends only
+    mock_random: bool = False
 
     # Execution
     backend: str = "auto"  # auto | jnp | mxu | pallas | bvh

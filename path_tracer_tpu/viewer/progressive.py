@@ -30,15 +30,20 @@ class ProgressiveRenderer:
         spp_per_frame: int = 2,
         seed: int = 0,
         max_depth: int = 12,
-        backend: str = "fast",
+        backend: str = "auto",
     ):
+        from path_tracer_tpu.render.pipeline import prepare_scene_and_mode
+
         self.scene = scene
         self.resolution = resolution
         self.spp_per_frame = spp_per_frame
         self.seed = seed
         self.max_depth = max_depth
-        self.mode = backend
-        self.scene_bufs = prepare_scene(scene, backend)
+        # regen=False: the v2 kernel takes externally-generated rays, so
+        # interactive camera moves need no kernel recompile
+        self.scene_bufs, self.mode = prepare_scene_and_mode(
+            scene, backend, resolution, regen=False
+        )
         self.reset()
 
     def reset(self) -> None:
