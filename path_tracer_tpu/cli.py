@@ -21,9 +21,10 @@ import time
 
 from path_tracer_tpu.utils.profiling import format_eta
 
-# Dead-CLI defaults (cmd_render.rs:16-44): spp 40, res_y 220.
-DEFAULT_SPP = 40
-DEFAULT_RES_Y = 220
+# Defaults follow the GUI (main.rs:91-92: spp 100, res_y 300); the dead
+# CLI's commented usage suggested 4000 spp @ 600 (cmd_render.rs:48).
+DEFAULT_SPP = 100
+DEFAULT_RES_Y = 300
 DEFAULT_SCENE = "cornell"
 
 

@@ -204,7 +204,13 @@ def render(
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
         k = min(spp, 64)
     else:
-        k = _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
+        budget = DEFAULT_LANE_BUDGET
+        if mode == "exact":
+            # the literal-arithmetic oracle materializes [lanes, T, 3]
+            # intermediates — bound them to ~2 GB of HBM
+            T = int(scene_bufs["tri_v"].shape[0])
+            budget = min(budget, max(2_000_000_000 // (T * 36), 4096))
+        k = _pick_samples_per_pass(npix, spp, budget)
     full_passes, remainder = divmod(spp, k)
 
     # Z-order pixel traversal (see morton_pixel_order); accum lives in

@@ -118,3 +118,44 @@ def test_reverse_order_tie_break():
     for mode in ("exact", "fast"):
         hit = intersect_scene(o, d, bufs, mode=mode)
         assert int(hit.obj[0]) == 1
+
+
+def test_intersect_bounds_uses_aabb_for_meshes(all_scenes):
+    """intersect_bounds parity (mod.rs:282-290): a ray that misses a mesh's
+    triangles but crosses its AABB must still report the AABB hit."""
+    from path_tracer_tpu.ops.host_intersect import (
+        intersect_bounds_packed,
+        intersect_packed,
+        pack_scene_bounds,
+    )
+
+    scene = all_scenes["mesh"]
+    packed = pt.pack_scene(scene)
+    bbox_tris, bbox_obj = pack_scene_bounds(scene)
+    obj0 = scene.objects[0]  # the mctri mesh
+    # aim at an AABB corner region likely devoid of triangles
+    from path_tracer_tpu.models.geometry import mesh_bounds
+
+    mn, mx = mesh_bounds(obj0.mesh.triangles)
+    corner = mx + obj0.position
+    # just inside the AABB's xy footprint at its top corner (no triangles
+    # fill the corner of a round-ish mesh), firing -z through the box
+    o = corner + np.array([-0.01, -0.01, 3.0], np.float32)
+    d = np.array([0.0, 0.0, -1.0])
+    bounds_hit = intersect_bounds_packed(packed, bbox_tris, bbox_obj, o, d)
+    assert bounds_hit is not None and bounds_hit[1] == 0, bounds_hit
+    # jnp twin agrees
+    from path_tracer_tpu.ops.intersect import intersect_bounds
+
+    bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
+    bb = {
+        "tri_v": jnp.asarray(bbox_tris),
+        "tri_order": jnp.asarray(np.arange(len(bbox_obj), dtype=np.int32)),
+        "tri_obj": jnp.asarray(bbox_obj),
+    }
+    t, obj = intersect_bounds(
+        jnp.asarray(o, jnp.float32)[None, :], jnp.asarray(d, jnp.float32)[None, :],
+        bufs, bb,
+    )
+    assert int(obj[0]) == 0
+    np.testing.assert_allclose(float(t[0]), bounds_hit[0], rtol=1e-3)
