@@ -145,14 +145,18 @@ def render_sharded(
     The framebuffer is padded so the pixel axis divides dp; padding pixels
     trace real rays pointing at pixel 0 (cheap, simple, correct after crop).
     """
-    from path_tracer_tpu.render.pipeline import resolve_backend
+    from path_tracer_tpu.render.pipeline import prepare_scene_and_mode
 
     mesh = mesh or make_mesh(num_devices, sample_parallel)
     dp, sp = mesh.shape["dp"], mesh.shape["sp"]
     res = config.resolution
     npix = res.num_pixels
     npix_pad = _round_up(npix, dp)
-    mode = resolve_backend(config.backend)
+    # regen=False: per-device pixel tiles + sample shards fit the external-
+    # raygen kernel; static scene consts are shared by every device's kernel
+    scene_bufs, mode = prepare_scene_and_mode(
+        scene, config.backend, regen=False
+    )
 
     # sample chunking must divide by sp
     k = config.samples_per_pass
@@ -176,7 +180,6 @@ def render_sharded(
         mode=mode,
     )
 
-    scene_bufs = prepare_scene(scene, mode)
     sharding = NamedSharding(mesh, P("dp", None))
     accum0 = jax.device_put(jnp.zeros((npix_pad, 3), jnp.float32), sharding)
     replicate = NamedSharding(mesh, P())

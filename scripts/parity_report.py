@@ -56,7 +56,7 @@ def main():
         "(~sigma/sqrt(spp)); matching it means the backends agree in",
         "expectation. RMSE is on tone-mapped 8-bit values / 255.",
         "",
-        "| scene | res | spp | wall s | Msam/s | Mray/s | RMSE(prod,exact) | MC-noise est |",
+        "| scene | res | spp | wall s (incl. compile) | Msam/s | Mray/s | RMSE(prod,exact) | MC-noise est |",
         "|---|---|---|---|---|---|---|---|",
     ]
 
