@@ -85,19 +85,11 @@ class _F32Str(float):
         return _fmt_f32(self)
 
 
-class _F32Encoder(json.JSONEncoder):
-    def iterencode(self, o, _one_shot=False):
-        for chunk in super().iterencode(o, _one_shot=_one_shot):
-            yield chunk
-
-
 def dumps_scene_json(obj: dict) -> str:
-    jsonable = _to_jsonable(obj)
-    # json uses float.__repr__ for floats ONLY via float.__repr__? It uses
-    # `float.__repr__(o)` explicitly in C speedups, bypassing subclasses —
-    # so encode with the pure-python encoder path (c_make_encoder=None trick
-    # is global); instead do a manual pretty-printer for full control.
-    return _pretty(jsonable, 0)
+    # The stdlib json C encoder calls float.__repr__ directly, bypassing the
+    # _F32Str subclass — a manual pretty-printer keeps full control of both
+    # float formatting and serde_json-style layout.
+    return _pretty(_to_jsonable(obj), 0)
 
 
 def _pretty(o, indent: int) -> str:

@@ -14,7 +14,7 @@ reference evaluates BOTH refraction branches and sums re*L_refl + tr*L_trans
 Russian-roulette the branch with probability P and weights Re/P, Tr/(1-P) —
 the estimator's expectation is identical (E[w·L] = re·L_refl + tr·L_trans for
 any branch probability), at slightly higher variance for the first two
-bounces. Verified against a literal recursive oracle in tests/test_parity.py.
+bounces. Verified against a literal recursive oracle in tests/test_integrator.py (test_wavefront_matches_recursive_oracle).
 """
 
 from __future__ import annotations

@@ -25,7 +25,8 @@ def sphere_t(center: np.ndarray, radius: np.ndarray, o, d) -> np.ndarray:
     sq = np.sqrt(np.maximum(det, 0.0))
     t_near, t_far = b - sq, b + sq
     t = np.where(t_near >= EPS_SPHERE, t_near, np.where(t_far >= EPS_SPHERE, t_far, np.inf))
-    return np.where(det < 0.0, np.inf, t)
+    # radius <= 0 marks padding entries (1e30 sentinel centers) — force miss
+    return np.where((det < 0.0) | (radius <= 0.0), np.inf, t)
 
 
 def triangle_t(tri_v: np.ndarray, o, d, eps_t: float = EPS_TRI_T) -> np.ndarray:

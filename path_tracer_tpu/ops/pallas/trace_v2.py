@@ -433,8 +433,13 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
         sample_base = seed_ref[0, 1].astype(jnp.float32)
 
         pix = pix_ref[0]  # (SUB, L) f32 pixel indices
-        # pixel -> (x, y) with the reference's y flip (mod.rs:805-806)
+        # pixel -> (x, y) with the reference's y flip (mod.rs:805-806).
+        # floor(pix * (1/W)) in f32 is off by one for ~12% of widths near
+        # row boundaries (pix and W exact, the product is not) — one exact
+        # integer fix-up pass corrects any ±1 row error.
         rowf = jnp.floor(pix * inv_w)
+        x = pix - rowf * W
+        rowf = rowf + jnp.where(x >= W, 1.0, 0.0) - jnp.where(x < 0.0, 1.0, 0.0)
         x = pix - rowf * W
         y = (H - 1) - rowf
 

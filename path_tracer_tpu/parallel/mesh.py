@@ -169,6 +169,11 @@ def render_sharded(
         k = _pick_samples_per_pass(npix_pad, config.samples_per_pixel, DEFAULT_LANE_BUDGET)
     k = max(_round_up(k, sp), sp)
     spp = _round_up(config.samples_per_pixel, k)  # whole passes only
+    if spp != config.samples_per_pixel and kw.get("verbose", True):
+        print(
+            f"render_sharded: samples_per_pixel rounded {config.samples_per_pixel}"
+            f" -> {spp} (whole passes of {k} across sp={sp} shards)"
+        )
     config = config.with_(samples_per_pass=k, samples_per_pixel=spp)
 
     runner = make_sharded_pass(

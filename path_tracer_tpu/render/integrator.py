@@ -5,7 +5,7 @@ The reference's recursive ``radiance`` (``mod.rs:661-792``) becomes a
 ``(origin, direction, throughput, accum, alive)``. Branches are masked
 ``jnp.where`` lanes; Russian roulette is masked termination. The transform is
 expectation-preserving (verified against a literal recursive oracle in
-tests/test_parity.py):
+tests/test_integrator.py (test_wavefront_matches_recursive_oracle)):
 
 recursive form                         wavefront form
 --------------                         --------------

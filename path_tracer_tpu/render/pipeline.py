@@ -29,7 +29,7 @@ from path_tracer_tpu.ops.intersect import triangle_coeffs
 from path_tracer_tpu.render import integrator
 from path_tracer_tpu.render.image import Image, write_ppm
 from path_tracer_tpu.render.raygen import camera_arrays
-from path_tracer_tpu.utils.config import RenderConfig
+from path_tracer_tpu.utils.config import RenderConfig, Resolution
 from path_tracer_tpu.utils.profiling import RenderStats
 
 
@@ -55,9 +55,11 @@ class RenderDone:
 DEFAULT_LANE_BUDGET = 2 * 1024 * 1024
 
 
-def prepare_scene(scene: SceneDescriptor, mode: str = "fast") -> dict:
+def prepare_scene(
+    scene: SceneDescriptor, mode: str = "fast", packed=None
+) -> dict:
     """Pack + upload scene buffers, with precomputed triangle coefficients."""
-    packed = pack_scene(scene)
+    packed = packed if packed is not None else pack_scene(scene)
     bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
     if mode in ("fast", "auto"):
         bufs["tri_coeffs"] = triangle_coeffs(bufs["tri_v"])
@@ -87,14 +89,14 @@ def prepare_scene_and_mode(
     move the camera every frame should pass regen=False.
     """
     mode = resolve_backend(backend)
-    bufs = prepare_scene(scene, mode)
+    packed = pack_scene(scene)
+    bufs = prepare_scene(scene, mode, packed=packed)
     if mode == "pallas":
         import hashlib
 
         from path_tracer_tpu.models.scene import dumps_scene_json
         from path_tracer_tpu.ops.pallas import trace_v2
 
-        packed = pack_scene(scene)
         consts = trace_v2.build_scene_consts(packed)
         if consts is not None:
             objs_json = dumps_scene_json(
@@ -175,6 +177,8 @@ def render(
 ) -> RenderDone:
     """Render a scene to completion (or cancellation). See module docstring."""
     config = config.validated()
+    if checkpoint_path and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"  # np.savez appends it regardless
     res = config.resolution
     npix = res.num_pixels
     spp = config.samples_per_pixel

@@ -21,7 +21,12 @@ from path_tracer_tpu.utils.config import RenderConfig, Resolution
 
 
 class ProgressiveRenderer:
-    """Accumulates samples frame by frame; reset() on scene/camera edits."""
+    """Accumulates samples frame by frame; reset() on scene/camera edits.
+
+    Thread-safe: step/reset/move_camera serialize on an internal lock (the
+    HTTP viewer serves concurrent requests, and render_pass donates the
+    accumulator — a concurrent second dispatch would hit a deleted buffer).
+    """
 
     def __init__(
         self,
@@ -41,6 +46,9 @@ class ProgressiveRenderer:
         self.max_depth = max_depth
         # regen=False: the v2 kernel takes externally-generated rays, so
         # interactive camera moves need no kernel recompile
+        import threading
+
+        self._lock = threading.Lock()
         self.scene_bufs, self.mode = prepare_scene_and_mode(
             scene, backend, resolution, regen=False
         )
@@ -48,6 +56,10 @@ class ProgressiveRenderer:
 
     def reset(self) -> None:
         """Restart accumulation (after camera/scene edits)."""
+        with self._lock:
+            self._reset_locked()
+
+    def _reset_locked(self) -> None:
         npix = self.resolution.num_pixels
         self._accum = jnp.zeros((npix, 3), jnp.float32)
         self._frame = 0
@@ -62,6 +74,10 @@ class ProgressiveRenderer:
 
     def step(self) -> Image:
         """Render one frame's worth of samples; returns the running image."""
+        with self._lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> Image:
         self._accum, _ = integrator.render_pass(
             self.scene_bufs,
             self._cam,
@@ -79,5 +95,6 @@ class ProgressiveRenderer:
         return Image.new(np.asarray(img), self.resolution)
 
     def move_camera(self, camera) -> None:
-        self.scene.camera = camera
-        self.reset()
+        with self._lock:
+            self.scene.camera = camera
+            self._reset_locked()
