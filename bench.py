@@ -41,7 +41,7 @@ def main():
     base_key = rng.root_key(0)
 
     if mode.startswith("pallas3"):
-        k = min(spp, 64)
+        k = min(spp, 128)
     else:
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)

@@ -493,7 +493,8 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
 
             def active(st):
                 st = dict(st)
-                u = [_uniform((SUB, L)) for _ in range(6)]
+                ub = _uniform((6 * SUB, L))  # one PRNG call per step
+                u = [ub[k * SUB : (k + 1) * SUB] for k in range(6)]
 
                 # regenerate: lanes with no live path and samples remaining
                 need = (st["alive"] <= 0.0) & (st["done_samples"] < quota)

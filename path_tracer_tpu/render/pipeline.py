@@ -206,7 +206,7 @@ def render(
     elif mode.startswith("pallas3"):
         # regenerative kernel: state is per-PIXEL (not per-sample), so big
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
-        k = min(spp, 64)
+        k = min(spp, 128)
     else:
         budget = DEFAULT_LANE_BUDGET
         if mode == "exact":
