@@ -156,6 +156,27 @@ def triangle_coeffs(tri_v):
     }
 
 
+def triangle_coeffs_np(tri_v):
+    """NumPy twin of triangle_coeffs for host-side scene preparation (eager
+    jnp ops each JIT a tiny executable — seconds per op on remote-compile
+    TPU backends; scene prep must stay on the host)."""
+    import numpy as np
+
+    tri_v = np.asarray(tri_v, np.float32)
+    a = tri_v[:, 0]
+    e1 = tri_v[:, 1] - tri_v[:, 0]
+    e2 = tri_v[:, 2] - tri_v[:, 0]
+    n = np.cross(e1, e2)
+    return {
+        "n": n,
+        "e1": e1,
+        "e2": e2,
+        "e2xa": np.cross(e2, a),
+        "axe1": np.cross(a, e1),
+        "na": (n * a).sum(axis=1),
+    }
+
+
 def triangle_distances_fast(o, d, coeffs):
     """Matmul form: 6 [R,3]@[3,T] contractions, no [R,T,3] buffers."""
     m = jnp.cross(o, d)  # [R,3]

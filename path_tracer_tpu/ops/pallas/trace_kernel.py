@@ -181,9 +181,7 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
             tile_rad2[c] = (((verts - ctr) ** 2).sum(axis=1).max()) * (1 + 1e-5)
         tiles = (tile_center, tile_rad2, C, base_pad)
 
-    coeffs = jax.tree.map(
-        np.asarray, intersect_ops.triangle_coeffs(jnp.asarray(tri_v))
-    )
+    coeffs = intersect_ops.triangle_coeffs_np(tri_v)
 
     order_fill = 1.0e9
     bufs = {

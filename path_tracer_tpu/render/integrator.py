@@ -214,10 +214,10 @@ def trace_with_kernel_v2(o, d, scene_key: str, key, *, max_depth=12,
 def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
     """Trace via the fused Pallas megakernel, padding N to the block size
     with guaranteed-miss rays."""
-    from path_tracer_tpu.ops.pallas.trace_kernel import DEFAULT_BLOCK, trace_pallas
+    from path_tracer_tpu.ops.pallas.trace_kernel import trace_pallas
 
     n = o.shape[0]
-    block = DEFAULT_BLOCK
+    block = 1024  # measured fastest for the prim-major kernel
     n_pad = ((n + block - 1) // block) * block
     if n_pad != n:
         pad = n_pad - n

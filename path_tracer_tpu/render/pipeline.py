@@ -25,7 +25,7 @@ import numpy as np
 
 from path_tracer_tpu.models.scene import SceneDescriptor, pack_scene
 from path_tracer_tpu.ops import rng
-from path_tracer_tpu.ops.intersect import triangle_coeffs
+from path_tracer_tpu.ops.intersect import triangle_coeffs_np
 from path_tracer_tpu.render import integrator
 from path_tracer_tpu.render.image import Image, write_ppm
 from path_tracer_tpu.render.raygen import camera_arrays
@@ -62,7 +62,9 @@ def prepare_scene(
     packed = packed if packed is not None else pack_scene(scene)
     bufs = {k: jnp.asarray(v) for k, v in packed.buffers().items()}
     if mode in ("fast", "auto"):
-        bufs["tri_coeffs"] = triangle_coeffs(bufs["tri_v"])
+        bufs["tri_coeffs"] = {
+            k: jnp.asarray(v) for k, v in triangle_coeffs_np(packed.tri_v).items()
+        }
     if mode == "pallas" or mode.startswith("pallas2"):
         from path_tracer_tpu.ops.pallas.trace_kernel import kernel_scene_buffers
 
@@ -137,6 +139,10 @@ def _pick_samples_per_pass(npix: int, spp: int, budget: int) -> int:
     return min(k, spp)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def morton_pixel_order(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
     """(perm, inv): Z-order traversal of the pixel grid. Lane blocks then
     cover compact screen tiles (spatial coherence for kernel tile-culling).
@@ -171,6 +177,7 @@ def render(
     checkpoint_every: int = 0,
     out_dir: str | None = "out",
     device_buffers: dict | None = None,
+    device_mode: str | None = None,
     pass_runner: Callable | None = None,
     accum_init=None,
     verbose: bool = True,
@@ -193,6 +200,8 @@ def render(
     t_start = time.perf_counter()
     if device_buffers is not None:
         scene_bufs = device_buffers
+        if device_mode is not None:
+            mode = device_mode
     elif config.mock_random:
         mode = "fast" if mode not in ("fast", "exact") else mode
         scene_bufs = prepare_scene(scene, mode)

@@ -1,0 +1,67 @@
+"""Benchmark every built-in scene on the current device; writes BENCH_ALL.md.
+
+Measures steady-state (post-compile) wall time for a fixed-spp render via
+the public pipeline, reporting Msamples/s and Mrays/s per scene.
+
+Usage: JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/bench_all.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+CONFIGS = [
+    # spp sized so steady-state compute dominates the ~0.2s per-render
+    # host-side overhead (eager dispatches, pixel ordering, image fetch)
+    ("single-sphere", 256, 256, 4096),
+    ("cartesian", 384, 256, 2048),
+    ("two-spheres", 384, 256, 2048),
+    ("three-spheres", 384, 256, 2048),
+    ("cornell", 1024, 768, 512),
+    ("mesh", 1024, 768, 64),
+]
+
+
+def main():
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    lines = [
+        "# All-scene benchmark",
+        "",
+        f"Device: {jax.devices()[0].device_kind} ({jax.default_backend()}); "
+        "steady-state (warmup render excluded).",
+        "",
+        "| scene | res | spp | wall s | Msamples/s | Mrays/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    from path_tracer_tpu.render.pipeline import prepare_scene_and_mode
+
+    for sid, w, h, spp in CONFIGS:
+        scene = pt.load_scene(sid, "scenes")
+        cfg = RenderConfig(samples_per_pixel=spp, resolution=Resolution(h, w))
+        bufs, mode = prepare_scene_and_mode(scene, cfg.backend, cfg.resolution)
+        kw = dict(out_dir=None, verbose=False, progress_snapshots=False,
+                  device_buffers=bufs, device_mode=mode)
+        pt.render(scene, cfg, **kw)  # warmup/compile
+        done = pt.render(scene, cfg, **kw)
+        s = done.stats
+        lines.append(
+            f"| {sid} | {w}x{h} | {spp} | {done.duration:.2f} | "
+            f"{s.msamples_per_sec:.1f} | {s.mrays_per_sec:.1f} |"
+        )
+        print(lines[-1], flush=True)
+
+    with open("BENCH_ALL.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote BENCH_ALL.md")
+
+
+if __name__ == "__main__":
+    main()
