@@ -51,7 +51,7 @@ def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
-TRI_TILE = 128  # triangles per culling tile (sublane-aligned)
+TRI_TILE = 64  # triangles per culling tile (sublane-aligned; measured best)
 TILE_THRESHOLD = 192  # tile + cull only above this many triangles
 
 
