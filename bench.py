@@ -40,7 +40,7 @@ def main():
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
 
-    if mode.startswith("pallas3"):
+    if mode.startswith(("pallas3", "pallasr")):
         k = min(spp, 128)
     else:
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)

@@ -350,7 +350,7 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
 
 def _make_kernel(
     S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
-    n_tiles=0, tile_base=0,
+    n_tiles=0, tile_base=0, regen=None,
 ):
     """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
 
@@ -358,15 +358,20 @@ def _make_kernel(
     single-pass megakernel (state never leaves the chip); smaller n_steps
     trades a little HBM traffic (~112 B/ray per boundary) for much smaller
     Mosaic compile units and a hook for future inter-bounce compaction.
-    """
-    PI = np.float32(np.pi)
-    R0 = np.float32((1.5 - 1.0) ** 2 / (1.5 + 1.0) ** 2)
 
-    def kernel(
-        seed_ref,
-        o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref,
-        *rest,
-    ):
+    regen=(cam_consts, quota): regenerative variant — lanes own pixels,
+    generate their rays in-kernel from the static camera constants, and
+    restart the next sample the moment a path dies (see trace_v2 for the
+    design; this is its prim-major twin for triangle-heavy scenes).
+    Signature then becomes kernel(seed, pix, *tables, rad_out, count_out)
+    with n_steps = quota * max_depth and an all-done early exit.
+    """
+
+    def kernel(seed_ref, *args):
+        if regen is None:
+            o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref, *rest = args
+        else:
+            pix_ref, *rest = args
         if fixed_uniforms:
             u_ref = rest[0]  # [n_steps*4, B] precomputed uniforms
             rest = rest[1:]
@@ -381,9 +386,9 @@ def _make_kernel(
         (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
-            o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref,
+            *outs,
         ) = rest
-        depth0 = seed_ref[0, 1]
+        depth0 = seed_ref[0, 1] if regen is None else jnp.int32(0)
         if not fixed_uniforms:
             # Knuth multiplicative hash (golden-ratio constant as signed i32)
             pltpu.prng_seed(
@@ -395,15 +400,6 @@ def _make_kernel(
         def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
             return ref[k, :][:, None]
 
-        # per-ray state: lists of [1,B]
-        o = [o_ref[k, :][None, :] for k in range(3)]
-        d = [d_ref[k, :][None, :] for k in range(3)]
-        thr = [thr_ref[k, :][None, :] for k in range(3)]
-        acc = [acc_ref[k, :][None, :] for k in range(3)]
-        alive_f = alive_ref[0, :][None, :]
-        prev = prev_ref[0, :][None, :]
-        counts = jnp.zeros((1, B), jnp.float32)
-
         sphc = [tcol(sph_center, k) for k in range(3)]
         sph_r2 = sph_rad2[0, :][:, None]
         if pretest:
@@ -412,11 +408,9 @@ def _make_kernel(
         # tpu.iota only produces integers — build f32 indices via cast
         sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
 
-        def body(s, carry):
-            o, d, thr, acc, alive_f, prev, counts = carry
-            alive = alive_f > 0.0
-            counts = counts + alive_f
-
+        def isect(o, d, prev, alive):
+            """Closest hit for the current lanes. Returns (found, point,
+            nrm, color, emis, rtype, new_prev)."""
             # --- spheres (+ bounding pre-test when it can gate hits) ---
             t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
             if pretest:
@@ -499,7 +493,7 @@ def _make_kernel(
                 tilec = [tcol(tile_center, k) for k in range(3)]
                 tile_r2 = tile_rad2[0, :][:, None]
                 t_tl = _sphere_t(tilec, tile_r2, o, d)  # [C,B]
-                tl_hit = (t_tl < BIG) & (alive_f > 0.0)  # [C,B]
+                tl_hit = (t_tl < BIG) & alive  # [C,B]
 
                 d_t, i_t, trin, tric, trie, trirt, triord = tri_block(
                     0, tile_base
@@ -555,6 +549,35 @@ def _make_kernel(
             ]
             rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
             new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
+            return found, point, nrm, color, emis, rtype, new_prev
+
+        if regen is not None:
+            _regen_loop(
+                seed_ref, args[0], outs, isect, regen, B,
+                max_depth, rr_start_depth,
+            )
+            return
+
+        o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref = args[:6]
+        o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref = outs
+
+        # per-ray state: lists of [1,B]
+        o = [o_ref[k, :][None, :] for k in range(3)]
+        d = [d_ref[k, :][None, :] for k in range(3)]
+        thr = [thr_ref[k, :][None, :] for k in range(3)]
+        acc = [acc_ref[k, :][None, :] for k in range(3)]
+        alive_f = alive_ref[0, :][None, :]
+        prev = prev_ref[0, :][None, :]
+        counts = jnp.zeros((1, B), jnp.float32)
+
+        def body(s, carry):
+            o, d, thr, acc, alive_f, prev, counts = carry
+            alive = alive_f > 0.0
+            counts = counts + alive_f
+
+            found, point, nrm, color, emis, rtype, new_prev = isect(
+                o, d, prev, alive
+            )
 
             if fixed_uniforms:
                 u = u_ref[pl.ds(s * 4, 4), :]
@@ -592,6 +615,178 @@ def _make_kernel(
         count_ref[0, :] = counts[0, :]
 
     return kernel
+
+
+def _regen_loop(seed_ref, pix_ref, outs, isect, regen, B, max_depth,
+                rr_start_depth):
+    """Regenerative main loop on [1,B] lanes (see trace_v2 for the design):
+    each lane owns one pixel, traces `quota` full samples with in-kernel
+    raygen, and the loop exits early once every lane finished its quota."""
+    cam_consts, quota = regen
+    (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
+    inv_w = float(np.float32(1.0 / W))
+    inv_h = float(np.float32(1.0 / H))
+    rad_out, count_ref = outs
+    sample_base = seed_ref[0, 1].astype(jnp.float32)
+
+    pix = pix_ref[0, :][None, :]  # [1,B] f32 pixel indices
+    # pixel -> (x, y) with y flip + exact integer fix-up (see trace_v2)
+    rowf = jnp.floor(pix * inv_w)
+    x = pix - rowf * W
+    rowf = rowf + jnp.where(x >= W, 1.0, 0.0) - jnp.where(x < 0.0, 1.0, 0.0)
+    x = pix - rowf * W
+    y = (H - 1) - rowf
+
+    def raygen(s_idx, u1, u2):
+        half = jnp.floor(s_idx * 0.5)
+        ysub = half - jnp.floor(half * 0.5) * 2.0
+        xsub = s_idx - half * 2.0
+        r1 = 2.0 * u1
+        r2 = 2.0 * u2
+        xf = jnp.where(
+            r1 < 1.0, jnp.sqrt(r1) - 1.0,
+            1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)),
+        )
+        yf = jnp.where(
+            r2 < 1.0, jnp.sqrt(r2) - 1.0,
+            1.0 - jnp.sqrt(jnp.maximum(2.0 - r2, 0.0)),
+        )
+        sx = (x + 0.5 * (0.5 + xsub + xf)) * inv_w - 0.5
+        sy = (y + 0.5 * (0.5 + ysub + yf)) * inv_h - 0.5
+        spx = sox + su[0] * sx + sv[0] * sy
+        spy = soy + su[1] * sx + sv[1] * sy
+        spz = soz + su[2] * sx + sv[2] * sy
+        dx, dy, dz = lcx - spx, lcy - spy, lcz - spz
+        dl = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        return [dx * dl, dy * dl, dz * dl]
+
+    # non-foldable zero (Mosaic: constant carries + PRNG updates crash)
+    zero = jnp.minimum(_uniform((1, B)) * 0.0, 0.0)
+    state = {
+        "o": [zero + lcx, zero + lcy, zero + lcz],
+        "d": [zero, zero, zero + 1.0],
+        "thr": [zero, zero, zero],
+        "acc": [zero, zero, zero],
+        "alive": zero,
+        "prev": zero - 1.0,
+        "depth": zero,
+        "done": zero,
+        "counts": zero,
+    }
+
+    def step(_, st):
+        all_done = jnp.sum(jnp.where(st["done"] >= quota, 0.0, 1.0)) == 0.0
+
+        def active(st):
+            st = dict(st)
+            ub = _uniform((6, B))
+            u = [ub[k, :][None, :] for k in range(6)]
+
+            need = (st["alive"] <= 0.0) & (st["done"] < quota)
+            s_global = sample_base + st["done"]
+            d_new = raygen(s_global, u[4], u[5])
+            for k, lc in enumerate((lcx, lcy, lcz)):
+                st["o"][k] = jnp.where(need, lc, st["o"][k])
+                st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
+                st["thr"][k] = jnp.where(need, 1.0, st["thr"][k])
+            st["prev"] = jnp.where(need, -1.0, st["prev"])
+            st["depth"] = jnp.where(need, 0.0, st["depth"])
+            st["alive"] = jnp.where(need, 1.0, st["alive"])
+
+            live = st["alive"] > 0.0
+            st["counts"] = st["counts"] + st["alive"]
+
+            found, point, nrm, color, emis, rtype, new_prev = isect(
+                st["o"], st["d"], st["prev"], live
+            )
+            new_depth = st["depth"] + 1.0
+            acc, thr_new, d2, alive_new = shade_phase(
+                st["d"], nrm, color, emis, rtype, found,
+                st["thr"], st["acc"], u[:4],
+                new_depth, max_depth, rr_start_depth,
+            )
+            am = alive_new.astype(jnp.float32)
+            ended = live & ~alive_new
+            st["done"] = st["done"] + ended.astype(jnp.float32)
+            st["acc"] = acc
+            st["o"] = [jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)]
+            st["d"] = [jnp.where(alive_new, d2[k], st["d"][k]) for k in range(3)]
+            st["thr"] = [thr_new[k] * am for k in range(3)]
+            st["prev"] = jnp.where(alive_new, new_prev, -1.0)
+            st["depth"] = new_depth
+            st["alive"] = am
+            return st
+
+        return jax.lax.cond(all_done, lambda s: s, active, st)
+
+    st = jax.lax.fori_loop(0, quota * max_depth, step, state)
+    for k in range(3):
+        rad_out[k, :] = st["acc"][k][0, :]
+    count_ref[0, :] = st["counts"][0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam_consts", "quota", "max_depth", "rr_start_depth", "block"
+    ),
+)
+def trace_pallas_regen_prim(
+    pixel_idx,
+    kscene: dict,
+    cam_consts: tuple,
+    seed,
+    sample_base,
+    *,
+    quota: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 1024,
+):
+    """Regenerative trace on the prim-major (table-driven) kernel — for
+    triangle-heavy scenes. pixel_idx [N] i32 (one lane per pixel, N % block
+    == 0); cam_consts from trace_v2.build_camera_consts (static tuple).
+    Returns (radiance SUM over quota [N,3], rays f32)."""
+    n = pixel_idx.shape[0]
+    if n % block:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+    S = kscene["sph_rad2"].shape[1]
+    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
+    T = kscene["tri_na"].shape[1]
+    pretest = "gate" in kscene
+    n_tiles = kscene["tile_rad2"].shape[1] if "tile_rad2" in kscene else 0
+    tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
+    scene_keys = _scene_keys(kscene)
+
+    kernel = _make_kernel(
+        S, M, T, block, quota * max_depth, max_depth, rr_start_depth,
+        False, pretest, n_tiles=n_tiles, tile_base=tile_base,
+        regen=(cam_consts, quota),
+    )
+
+    def rspec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    rad, counts = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            rspec(1),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in scene_keys],
+        ],
+        out_specs=(rspec(3), rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+    )(
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(sample_base, jnp.int32)]).reshape(1, 2),
+        pixel_idx.astype(jnp.float32).reshape(1, n),
+        *[kscene[k] for k in scene_keys],
+    )
+    return rad.T, jnp.sum(counts)
 
 
 _SPH_KEYS = "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order".split()

@@ -288,6 +288,30 @@ def render_pass(
         )
         return accum + rad_sum, rays
 
+    if mode.startswith("pallasr:"):
+        # regenerative prim-major kernel (triangle-heavy scenes)
+        from path_tracer_tpu.ops.pallas import trace_v2
+        from path_tracer_tpu.ops.pallas.trace_kernel import (
+            trace_pallas_regen_prim,
+        )
+
+        cam_consts = trace_v2._SCENES[mode.split(":", 1)[1]]
+        n = base.shape[0]
+        block = 1024
+        n_pad = ((n + block - 1) // block) * block
+        pixels = base
+        if n_pad != n:
+            pixels = jnp.concatenate(
+                [pixels, jnp.zeros(n_pad - n, pixels.dtype)]
+            )
+        seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+        rad, rays = trace_pallas_regen_prim(
+            pixels, scene["kernel"], cam_consts, seed, pass_idx * k,
+            quota=k, max_depth=max_depth, rr_start_depth=rr_start_depth,
+            block=block,
+        )
+        return accum + rad[:n], rays.astype(jnp.int32)
+
     pixel_idx = jnp.repeat(base, k)
     sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + pass_idx * k
 

@@ -100,7 +100,19 @@ def prepare_scene_and_mode(
         from path_tracer_tpu.ops.pallas import trace_v2
 
         consts = trace_v2.build_scene_consts(packed)
-        if consts is not None:
+        if consts is None and resolution is not None and regen:
+            # triangle-heavy scene: regenerative prim-major kernel
+            w, h = resolution.width, resolution.height
+            cam_digest = hashlib.sha1(
+                dumps_scene_json(scene.camera.to_json()).encode()
+                + f":{w}x{h}".encode()
+            ).hexdigest()[:12]
+            cam_key = f"camr:{cam_digest}:{w}x{h}"
+            trace_v2.register_scene(
+                cam_key, trace_v2.build_camera_consts(scene.camera, w, h)
+            )
+            mode = f"pallasr:{cam_key}"
+        elif consts is not None:
             objs_json = dumps_scene_json(
                 {"objects": [o.to_json() for o in scene.objects]}
             )
@@ -212,7 +224,7 @@ def render(
 
     if config.samples_per_pass:
         k = config.samples_per_pass
-    elif mode.startswith("pallas3"):
+    elif mode.startswith(("pallas3", "pallasr")):
         # regenerative kernel: state is per-PIXEL (not per-sample), so big
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
         k = min(spp, 128)
