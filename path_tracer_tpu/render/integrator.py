@@ -253,6 +253,7 @@ def render_pass(
     accum,
     pass_idx,
     base_key,
+    sample_base=None,
     *,
     width: int,
     height: int,
@@ -271,10 +272,16 @@ def render_pass(
     permutation makes each kernel ray-block a compact screen tile, which is
     what lets the Pallas tile-culling skip geometry per block. accum stays
     in permuted order (callers unpermute once at finalize).
+    sample_base: global index of this pass's first sample (drives the 2x2
+    subpixel grid). Defaults to pass_idx*k — WRONG for a remainder pass
+    whose k is smaller than the earlier passes'; schedulers with ragged
+    passes must pass it explicitly.
     Returns (accum', rays_traced).
     """
     npix = width * height
     k = samples_in_pass
+    if sample_base is None:
+        sample_base = pass_idx * k
     base = jnp.arange(npix, dtype=jnp.int32) if pixel_perm is None else pixel_perm
     key = rng.chunk_key(base_key, pass_idx)
 
@@ -283,7 +290,7 @@ def render_pass(
         scene_key = mode.split(":", 1)[1]
         rad_sum, rays = trace_with_kernel_regen(
             base, scene_key, f"cam:{scene_key}:{width}x{height}", key,
-            pass_idx * k, quota=k, max_depth=max_depth,
+            sample_base, quota=k, max_depth=max_depth,
             rr_start_depth=rr_start_depth,
         )
         return accum + rad_sum, rays
@@ -306,14 +313,14 @@ def render_pass(
             )
         seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
         rad, rays = trace_pallas_regen_prim(
-            pixels, scene["kernel"], cam_consts, seed, pass_idx * k,
+            pixels, scene["kernel"], cam_consts, seed, sample_base,
             quota=k, max_depth=max_depth, rr_start_depth=rr_start_depth,
             block=block,
         )
         return accum + rad[:n], rays.astype(jnp.int32)
 
     pixel_idx = jnp.repeat(base, k)
-    sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + pass_idx * k
+    sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + sample_base
 
     result = render_samples(
         scene,

@@ -278,6 +278,7 @@ def render(
             accum,
             jnp.int32(pass_idx),
             base_key,
+            jnp.int32(pass_idx * k),  # global sample base (k = FULL pass size)
             width=res.width,
             height=res.height,
             samples_in_pass=k_pass,

@@ -100,6 +100,5 @@ def test_camera_view_projection_roundtrip():
     clip = vp @ pt_world
     ndc = clip[:3] / clip[3]
     assert -1 <= ndc[0] <= 1 and -1 <= ndc[1] <= 1 and 0 <= ndc[2] <= 1
-    back = np.linalg.inv(vp) @ np.array([*ndc, 1.0]) * clip[3]
-    np.testing.assert_allclose(back[:3] / back[3] * clip[3] / clip[3],
-                               pt_world[:3], atol=1e-3)
+    back = np.linalg.inv(vp) @ np.array([*ndc, 1.0])
+    np.testing.assert_allclose(back[:3] / back[3], pt_world[:3], atol=1e-3)

@@ -20,14 +20,18 @@ def test_cli_defaults_and_positionals():
 
 
 def test_cli_scene_by_index(repo_root):
+    old = os.getcwd()
     os.chdir(repo_root)
-    scene = resolve_scene("1", "scenes", "meshes")
-    ids = pt.load_scene_ids("scenes")
-    assert scene.id == ids[1]
-    with pytest.raises(SystemExit):
-        resolve_scene("99", "scenes", "meshes")
-    with pytest.raises(SystemExit):
-        resolve_scene("nope", "scenes", "meshes")
+    try:
+        scene = resolve_scene("1", "scenes", "meshes")
+        ids = pt.load_scene_ids("scenes")
+        assert scene.id == ids[1]
+        with pytest.raises(SystemExit):
+            resolve_scene("99", "scenes", "meshes")
+        with pytest.raises(SystemExit):
+            resolve_scene("nope", "scenes", "meshes")
+    finally:
+        os.chdir(old)
 
 
 def test_format_eta():

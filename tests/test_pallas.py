@@ -150,3 +150,35 @@ def test_pretest_kept_when_sphere_does_not_contain_mesh():
     hit = intersect_scene(o, d, bufs, mode="exact")
     assert not bool(hit.found[0])  # culled by the (buggy) pre-test
     assert bool(hit.found[1])
+
+
+def test_regen_kernels_agree(all_scenes):
+    """The two regenerative loops (static-scene v3 and prim-major) implement
+    the same sampling semantics; under the interpreter's deterministic PRNG
+    stub they must produce identical per-pixel radiance."""
+    import path_tracer_tpu.ops.pallas.trace_v2 as tv2
+
+    scene = all_scenes["cornell"]
+    packed = pt.pack_scene(scene)
+    W, H = 64, 32
+    n = W * H  # 2048 = 2 blocks of 1024
+    consts = tv2.build_scene_consts(packed)
+    tv2.register_scene("regen-test", consts)
+    cam_consts = tv2.build_camera_consts(scene.camera, W, H)
+    tv2.register_scene("cam-regen-test", cam_consts)
+    kscene = tk.kernel_scene_buffers(packed)
+    pix = jnp.arange(n, dtype=jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        r3, c3 = tv2.trace_pallas_regen.__wrapped__(
+            pix, "regen-test", "cam-regen-test", 3, 0, quota=2, max_depth=4,
+            block=1024,
+        )
+        rp, cp = tk.trace_pallas_regen_prim.__wrapped__(
+            pix, kscene, cam_consts, 3, 0, quota=2, max_depth=4, block=1024,
+        )
+    a, b = np.asarray(r3), np.asarray(rp)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    frac = (np.abs(a - b).sum(axis=1) < 1e-3).mean()
+    assert frac > 0.999, frac
+    np.testing.assert_allclose(float(c3), float(cp), rtol=1e-6)
