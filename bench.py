@@ -11,6 +11,8 @@ bounce — the standard Mrays/s definition).
 import json
 import os
 import sys
+
+import numpy as np
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -54,23 +56,28 @@ def main():
             mode=mode,
         )
 
-    # warmup/compile
+    # warmup/compile (fetch to host: block_until_ready has been observed to
+    # return early on the remote TPU backend right after a fresh compile)
     accum = jnp.zeros((npix, 3), jnp.float32)
     accum, rays0 = run_pass(accum, 0)
-    accum.block_until_ready()
+    np.asarray(rays0)
 
-    # timed steady-state
-    t0 = time.perf_counter()
-    total_rays = 0
-    rays_handles = []
-    accum = jnp.zeros((npix, 3), jnp.float32)
-    for i in range(n_passes):
-        accum, rays = run_pass(accum, i)
-        rays_handles.append(rays)
-    accum.block_until_ready()
-    wall = time.perf_counter() - t0
-    total_rays = int(sum(int(r) for r in rays_handles))
+    # timed steady-state: best of 2 reps, synced via host fetch
+    wall = float("inf")
+    for _ in range(2):
+        accum = jnp.zeros((npix, 3), jnp.float32)
+        np.asarray(accum[0])  # drain the queue before starting the clock
+        t0 = time.perf_counter()
+        rays_handles = []
+        for i in range(n_passes):
+            accum, rays = run_pass(accum, i)
+            rays_handles.append(rays)
+        total_rays = int(sum(np.asarray(r) for r in rays_handles))
+        np.asarray(accum[:1])
+        wall = min(wall, time.perf_counter() - t0)
     total_samples = n_passes * k * npix
+    if wall < 1e-3:
+        raise RuntimeError(f"implausible bench timing ({wall*1e3:.3f} ms)")
 
     mrays = total_rays / wall / 1e6
     print(

@@ -552,10 +552,21 @@ def _make_kernel(
             return found, point, nrm, color, emis, rtype, new_prev
 
         if regen is not None:
-            _regen_loop(
-                seed_ref, args[0], outs, isect, regen, B,
-                max_depth, rr_start_depth,
+            cam_consts, quota = regen
+            rad_out, count_ref = outs
+            pix = args[0][0, :][None, :]  # [1,B] f32 pixel indices
+
+            def draw(n):
+                u = _uniform((max(n, 1), B))
+                return [u[k, :][None, :] for k in range(n)]
+
+            acc, counts = regen_loop(
+                seed_ref[0, 1].astype(jnp.float32), pix, isect, draw,
+                cam_consts, quota, max_depth, rr_start_depth,
             )
+            for k in range(3):
+                rad_out[k, :] = acc[k][0, :]
+            count_ref[0, :] = counts[0, :]
             return
 
         o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref = args[:6]
@@ -617,19 +628,24 @@ def _make_kernel(
     return kernel
 
 
-def _regen_loop(seed_ref, pix_ref, outs, isect, regen, B, max_depth,
-                rr_start_depth):
-    """Regenerative main loop on [1,B] lanes (see trace_v2 for the design):
-    each lane owns one pixel, traces `quota` full samples with in-kernel
-    raygen, and the loop exits early once every lane finished its quota."""
-    cam_consts, quota = regen
+def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
+               rr_start_depth):
+    """Shape-agnostic regenerative main loop, shared by the static-scene
+    (trace_v2, (8,L) lanes) and prim-major ((1,B) lanes) kernels: each lane
+    owns one pixel, traces `quota` full samples with in-kernel raygen
+    (restarting the moment a path dies), and exits early once every lane in
+    the block finished its quota. Per-pixel sample counts are exact — no
+    length-biased partial samples are ever counted.
+
+    pix: lane-shaped f32 pixel indices; isect(o, d, prev, alive) → (found,
+    point, nrm, color, emis, rtype, new_prev); draw(n) → n lane-shaped
+    uniforms (must consume the PRNG — carries initialized from constants
+    crash Mosaic layout inference, so the zero seed derives from a draw).
+    Returns (acc3, counts).
+    """
     (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
     inv_w = float(np.float32(1.0 / W))
     inv_h = float(np.float32(1.0 / H))
-    rad_out, count_ref = outs
-    sample_base = seed_ref[0, 1].astype(jnp.float32)
-
-    pix = pix_ref[0, :][None, :]  # [1,B] f32 pixel indices
     # pixel -> (x, y) with y flip + exact integer fix-up (see trace_v2)
     rowf = jnp.floor(pix * inv_w)
     x = pix - rowf * W
@@ -661,7 +677,7 @@ def _regen_loop(seed_ref, pix_ref, outs, isect, regen, B, max_depth,
         return [dx * dl, dy * dl, dz * dl]
 
     # non-foldable zero (Mosaic: constant carries + PRNG updates crash)
-    zero = jnp.minimum(_uniform((1, B)) * 0.0, 0.0)
+    zero = jnp.minimum(draw(1)[0] * 0.0, 0.0)
     state = {
         "o": [zero + lcx, zero + lcy, zero + lcz],
         "d": [zero, zero, zero + 1.0],
@@ -679,8 +695,7 @@ def _regen_loop(seed_ref, pix_ref, outs, isect, regen, B, max_depth,
 
         def active(st):
             st = dict(st)
-            ub = _uniform((6, B))
-            u = [ub[k, :][None, :] for k in range(6)]
+            u = draw(6)
 
             need = (st["alive"] <= 0.0) & (st["done"] < quota)
             s_global = sample_base + st["done"]
@@ -720,9 +735,7 @@ def _regen_loop(seed_ref, pix_ref, outs, isect, regen, B, max_depth,
         return jax.lax.cond(all_done, lambda s: s, active, st)
 
     st = jax.lax.fori_loop(0, quota * max_depth, step, state)
-    for k in range(3):
-        rad_out[k, :] = st["acc"][k][0, :]
-    count_ref[0, :] = st["counts"][0, :]
+    return st["acc"], st["counts"]
 
 
 @functools.partial(

@@ -410,155 +410,45 @@ def build_camera_consts(camera, width: int, height: int) -> tuple:
 
 
 def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
-    """Regenerative kernel: each lane owns one pixel and traces `quota`
-    camera samples to full completion, starting the next sample the moment
-    the previous path dies (no idle lanes until the tail). The step loop is
-    bounded by quota*max_depth but exits as soon as every lane in the block
-    has finished its quota (scalar lax.cond — all-done blocks skip the body).
+    """Regenerative static-scene kernel on (SUB, L) lanes: a thin wrapper
+    around the shared trace_kernel.regen_loop with this module's static
+    primitive scan as the isect callback (see regen_loop for semantics)."""
+    from path_tracer_tpu.ops.pallas.trace_kernel import regen_loop
 
-    Per-pixel sample counts are EXACT (quota per pass), so the estimator is
-    the same unbiased mean as the plain kernels — no length-biased partial
-    samples are ever counted.
-    """
     prims, bnd = consts
     prim_scan = make_prim_scan(prims, bnd)
-    (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
-    inv_w = f(1.0 / W)
-    inv_h = f(1.0 / H)
 
     def kernel(seed_ref, pix_ref, rad_ref, count_ref):
         pltpu.prng_seed(
             seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
         )
-        sample_base = seed_ref[0, 1].astype(jnp.float32)
 
-        pix = pix_ref[0]  # (SUB, L) f32 pixel indices
-        # pixel -> (x, y) with the reference's y flip (mod.rs:805-806).
-        # floor(pix * (1/W)) in f32 is off by one for ~12% of widths near
-        # row boundaries (pix and W exact, the product is not) — one exact
-        # integer fix-up pass corrects any ±1 row error.
-        rowf = jnp.floor(pix * inv_w)
-        x = pix - rowf * W
-        rowf = rowf + jnp.where(x >= W, 1.0, 0.0) - jnp.where(x < 0.0, 1.0, 0.0)
-        x = pix - rowf * W
-        y = (H - 1) - rowf
-
-        def raygen(s_idx, u1, u2):
-            """sample index + 2 uniforms → ray (mod.rs:812-843)."""
-            half = jnp.floor(s_idx * 0.5)
-            ysub = half - jnp.floor(half * 0.5) * 2.0  # (s//2) % 2
-            xsub = s_idx - half * 2.0  # s % 2
-            r1 = 2.0 * u1
-            r2 = 2.0 * u2
-            xf = jnp.where(
-                r1 < 1.0,
-                jnp.sqrt(r1) - 1.0,
-                1.0 - jnp.sqrt(jnp.maximum(2.0 - r1, 0.0)),
+        def isect(o, d, prev, alive):
+            tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = prim_scan(
+                o, d, prev
             )
-            yf = jnp.where(
-                r2 < 1.0,
-                jnp.sqrt(r2) - 1.0,
-                1.0 - jnp.sqrt(jnp.maximum(2.0 - r2, 0.0)),
+            found = (tmin < BIG) & alive
+            point = [o[k] + d[k] * tmin for k in range(3)]
+            sn = [point[k] - h_aux[k] for k in range(3)]
+            sl = jax.lax.rsqrt(
+                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
             )
-            sx = (x + 0.5 * (0.5 + xsub + xf)) * inv_w - 0.5
-            sy = (y + 0.5 * (0.5 + ysub + yf)) * inv_h - 0.5
-            spx = sox + su[0] * sx + sv[0] * sy
-            spy = soy + su[1] * sx + sv[1] * sy
-            spz = soz + su[2] * sx + sv[2] * sy
-            dx, dy, dz = lcx - spx, lcy - spy, lcz - spz
-            dl = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-            return [dx * dl, dy * dl, dz * dl]
+            sph_w = h_sph > 0.5
+            nrm = [jnp.where(sph_w, sn[k] * sl, h_aux[k]) for k in range(3)]
+            new_prev = jnp.where(found, h_prev, -1.0)
+            return found, point, nrm, h_color, h_emis, h_rtype, new_prev
 
-        # Mosaic trap: fori carries initialized from CONSTANTS get replicated
-        # vreg layouts, and PRNG-dependent updates inside the loop then crash
-        # layout inference in the compile helper. A zero derived from a PRNG
-        # draw is unfoldable and keeps the layouts concrete.
-        zero = jnp.minimum(_uniform((SUB, L)) * 0.0, 0.0)
-        state = {
-            "o": [zero + lcx, zero + lcy, zero + lcz],
-            "d": [zero, zero, zero + 1.0],
-            "thr": [zero, zero, zero],
-            "acc": [zero, zero, zero],
-            "alive": zero,           # no path in flight yet
-            "prev": zero - 1.0,
-            "depth": zero,           # current path depth
-            "done_samples": zero,    # completed samples this pass
-            "counts": zero,          # traced segments (for Mrays/s)
-        }
+        def draw(n):
+            u = _uniform((max(n, 1) * SUB, L))
+            return [u[k * SUB : (k + 1) * SUB] for k in range(n)]
 
-        def step(_, st):
-            all_done = jnp.sum(
-                jnp.where(st["done_samples"] >= quota, 0.0, 1.0)
-            ) == 0.0
-
-            def active(st):
-                st = dict(st)
-                ub = _uniform((6 * SUB, L))  # one PRNG call per step
-                u = [ub[k * SUB : (k + 1) * SUB] for k in range(6)]
-
-                # regenerate: lanes with no live path and samples remaining
-                need = (st["alive"] <= 0.0) & (st["done_samples"] < quota)
-                s_global = sample_base + st["done_samples"]
-                d_new = raygen(s_global, u[4], u[5])
-                one = jnp.ones_like(st["alive"])
-                for k, lc in enumerate((lcx, lcy, lcz)):
-                    st["o"][k] = jnp.where(need, lc, st["o"][k])
-                    st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
-                    st["thr"][k] = jnp.where(need, one, st["thr"][k])
-                st["prev"] = jnp.where(need, -1.0, st["prev"])
-                st["depth"] = jnp.where(need, 0.0, st["depth"])
-                st["alive"] = jnp.where(need, 1.0, st["alive"])
-
-                live = st["alive"] > 0.0
-                st["counts"] = st["counts"] + st["alive"]
-
-                tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = (
-                    prim_scan(st["o"], st["d"], st["prev"])
-                )
-                found = (tmin < BIG) & live
-                point = [st["o"][k] + st["d"][k] * tmin for k in range(3)]
-                sn = [point[k] - h_aux[k] for k in range(3)]
-                sl = jax.lax.rsqrt(
-                    jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
-                )
-                sph_w = h_sph > 0.5
-                nrm = [
-                    jnp.where(sph_w, sn[k] * sl, h_aux[k]) for k in range(3)
-                ]
-
-                new_depth = st["depth"] + 1.0
-                acc, thr_new, d_new2, alive_new = shade_phase(
-                    st["d"], nrm, h_color, h_emis, h_rtype, found,
-                    st["thr"], st["acc"], u[:4],
-                    new_depth, max_depth, rr_start_depth,
-                )
-                am = alive_new.astype(jnp.float32)
-                # a path ends when it was live and did not survive the step
-                ended = live & ~alive_new
-                st["done_samples"] = st["done_samples"] + ended.astype(
-                    jnp.float32
-                )
-                st["acc"] = acc
-                st["o"] = [
-                    jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)
-                ]
-                st["d"] = [
-                    jnp.where(alive_new, d_new2[k], st["d"][k]) for k in range(3)
-                ]
-                st["thr"] = [thr_new[k] * am for k in range(3)]
-                st["prev"] = jnp.where(alive_new, h_prev, -1.0)
-                st["depth"] = new_depth
-                st["alive"] = am
-                return st
-
-            if _EARLY_EXIT:
-                return jax.lax.cond(all_done, lambda s: s, active, st)
-            return active(st)
-
-        st = jax.lax.fori_loop(0, quota * max_depth, step, state)
+        acc, counts = regen_loop(
+            seed_ref[0, 1].astype(jnp.float32), pix_ref[0], isect, draw,
+            cam_consts, quota, max_depth, rr_start_depth,
+        )
         for k in range(3):
-            rad_ref[k] = st["acc"][k]
-        count_ref[0] = st["counts"]
+            rad_ref[k] = acc[k]
+        count_ref[0] = counts
 
     return kernel
 
