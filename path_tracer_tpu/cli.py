@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the pure-functional analog "
+                        "of the reference's race/sanitizer story: NaNs are "
+                        "the only 'corruption' possible — fail fast on them)")
     return p
 
 
@@ -88,6 +92,11 @@ def main(argv: list[str] | None = None) -> int:
     from path_tracer_tpu.render.pipeline import render
     from path_tracer_tpu.utils.config import RenderConfig, Resolution
     from path_tracer_tpu.utils.profiling import profiler_trace
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     if args.list_scenes:
         for i, sid in enumerate(load_scene_ids(args.scene_dir, args.mesh_dir)):

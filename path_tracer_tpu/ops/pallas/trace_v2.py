@@ -417,6 +417,10 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
 
     prims, bnd = consts
     prim_scan = make_prim_scan(prims, bnd)
+    # open few-primitive scenes: most samples die within a bounce or two, so
+    # a true early-exit while loop beats fori+cond; enclosed scenes (walls →
+    # long paths) pipeline better with fori
+    loop = "while" if len(prims) <= 8 else "fori"
 
     def kernel(seed_ref, pix_ref, rad_ref, count_ref):
         pltpu.prng_seed(
@@ -444,7 +448,7 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
 
         acc, counts = regen_loop(
             seed_ref[0, 1].astype(jnp.float32), pix_ref[0], isect, draw,
-            cam_consts, quota, max_depth, rr_start_depth,
+            cam_consts, quota, max_depth, rr_start_depth, loop=loop,
         )
         for k in range(3):
             rad_ref[k] = acc[k]
