@@ -30,7 +30,9 @@ def main():
     from path_tracer_tpu.render.raygen import camera_arrays
     from path_tracer_tpu.utils.config import RenderConfig, Resolution
 
-    spp = int(os.environ.get("BENCH_SPP", "100"))
+    # 512 spp = 4 full quota-128 regen passes: long enough that steady-state
+    # throughput dominates dispatch overhead (100 spp under-reports by ~10%)
+    spp = int(os.environ.get("BENCH_SPP", "512"))
     width, height = 1024, 768
     npix = width * height
     backend = os.environ.get("BENCH_BACKEND", "auto")
@@ -72,7 +74,9 @@ def main():
         for i in range(n_passes):
             accum, rays = run_pass(accum, i)
             rays_handles.append(rays)
-        total_rays = int(sum(np.asarray(r) for r in rays_handles))
+        # per-pass counts are numpy scalars; sum as Python ints (a numpy
+        # int32 reduction wraps past 2.1e9 rays)
+        total_rays = sum(int(np.asarray(r)) for r in rays_handles)
         np.asarray(accum[:1])
         wall = min(wall, time.perf_counter() - t0)
     total_samples = n_passes * k * npix

@@ -186,7 +186,7 @@ def trace_with_kernel_regen(pixels, scene_key: str, cam_key: str, key,
         quota=quota, max_depth=max_depth, rr_start_depth=rr_start_depth,
         block=block,
     )
-    return rad[:n], rays.astype(jnp.int32)
+    return rad[:n], rays.astype(jnp.float32)
 
 
 def trace_with_kernel_v2(o, d, scene_key: str, key, *, max_depth=12,
@@ -208,7 +208,7 @@ def trace_with_kernel_v2(o, d, scene_key: str, key, *, max_depth=12,
         o, d, scene_key, seed,
         max_depth=max_depth, rr_start_depth=rr_start_depth, block=block,
     )
-    return TraceResult(radiance=rad[:n], rays_traced=rays.astype(jnp.int32))
+    return TraceResult(radiance=rad[:n], rays_traced=rays.astype(jnp.float32))
 
 
 def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
@@ -231,7 +231,7 @@ def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
         o, d, kscene, seed,
         max_depth=max_depth, rr_start_depth=rr_start_depth, block=block,
     )
-    return TraceResult(radiance=rad[:n], rays_traced=rays.astype(jnp.int32))
+    return TraceResult(radiance=rad[:n], rays_traced=rays.astype(jnp.float32))
 
 
 @partial(
@@ -317,7 +317,7 @@ def render_pass(
             quota=k, max_depth=max_depth, rr_start_depth=rr_start_depth,
             block=block,
         )
-        return accum + rad[:n], rays.astype(jnp.int32)
+        return accum + rad[:n], rays.astype(jnp.float32)
 
     pixel_idx = jnp.repeat(base, k)
     sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + sample_base
