@@ -73,6 +73,46 @@ def make_sharded_pass(
 
         k_local = k_pass // sp
         pix_base = dp_idx * npix_local
+        # decorrelated stream per (pass, dp, sp)
+        key = rng.chunk_key(base_key, (pass_idx * sp + sp_idx) * dp + dp_idx)
+
+        if mode.startswith(("pallas3:", "pallasr:")):
+            # regenerative kernels do their own raygen from pixel indices, so
+            # a dp shard just hands its tile's indices to the kernel; sp
+            # shards split the per-pixel sample quota via sample_base.
+            pix_local = pix_base + jnp.arange(npix_local, dtype=jnp.int32)
+            sample_base = pass_idx * k_pass + sp_idx * k_local
+            if mode.startswith("pallas3:"):
+                scene_key = mode.split(":", 1)[1]
+                rad_sum, rays = integrator.trace_with_kernel_regen(
+                    pix_local, scene_key, f"cam:{scene_key}:{width}x{height}",
+                    key, sample_base, quota=k_local, max_depth=max_depth,
+                    rr_start_depth=rr_start_depth,
+                )
+            else:
+                from path_tracer_tpu.ops.pallas import trace_v2
+                from path_tracer_tpu.ops.pallas.trace_kernel import (
+                    trace_pallas_regen_prim,
+                )
+
+                cam_consts = trace_v2._SCENES[mode.split(":", 1)[1]]
+                block = 1024
+                n_pad = _round_up(npix_local, block)
+                pix_k = pix_local
+                if n_pad != npix_local:
+                    pix_k = jnp.concatenate(
+                        [pix_k, jnp.zeros(n_pad - npix_local, pix_k.dtype)]
+                    )
+                seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+                rad, rays = trace_pallas_regen_prim(
+                    pix_k, scene_bufs["kernel"], cam_consts, seed, sample_base,
+                    quota=k_local, max_depth=max_depth,
+                    rr_start_depth=rr_start_depth, block=block,
+                )
+                rad_sum, rays = rad[:npix_local], rays.astype(jnp.float32)
+            accum_local = accum_local + lax.psum(rad_sum, "sp")
+            return accum_local, lax.psum(rays, ("dp", "sp"))
+
         pixel_idx = (
             jnp.repeat(jnp.arange(npix_local, dtype=jnp.int32), k_local) + pix_base
         )
@@ -81,8 +121,6 @@ def make_sharded_pass(
             + pass_idx * k_pass
             + sp_idx * k_local
         )
-        # decorrelated stream per (pass, dp, sp)
-        key = rng.chunk_key(base_key, (pass_idx * sp + sp_idx) * dp + dp_idx)
 
         res = integrator.render_samples(
             scene_bufs,
@@ -152,21 +190,25 @@ def render_sharded(
     res = config.resolution
     npix = res.num_pixels
     npix_pad = _round_up(npix, dp)
-    # regen=False: per-device pixel tiles + sample shards fit the external-
-    # raygen kernel; static scene consts are shared by every device's kernel
-    scene_bufs, mode = prepare_scene_and_mode(
-        scene, config.backend, regen=False
-    )
+    # regen kernels shard naturally: dp shards own pixel tiles (in-kernel
+    # raygen just needs the tile's indices), sp shards split the quota
+    scene_bufs, mode = prepare_scene_and_mode(scene, config.backend, res)
 
     # sample chunking must divide by sp
     k = config.samples_per_pass
     if not k:
-        from path_tracer_tpu.render.pipeline import (
-            DEFAULT_LANE_BUDGET,
-            _pick_samples_per_pass,
-        )
+        if mode.startswith(("pallas3:", "pallasr:")):
+            # per-shard quota capped at 128 (same as the single-device path)
+            k = min(config.samples_per_pixel, 128 * sp)
+        else:
+            from path_tracer_tpu.render.pipeline import (
+                DEFAULT_LANE_BUDGET,
+                _pick_samples_per_pass,
+            )
 
-        k = _pick_samples_per_pass(npix_pad, config.samples_per_pixel, DEFAULT_LANE_BUDGET)
+            k = _pick_samples_per_pass(
+                npix_pad, config.samples_per_pixel, DEFAULT_LANE_BUDGET
+            )
     k = max(_round_up(k, sp), sp)
     spp = _round_up(config.samples_per_pixel, k)  # whole passes only
     if spp != config.samples_per_pixel and kw.get("verbose", True):
