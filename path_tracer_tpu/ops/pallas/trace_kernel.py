@@ -168,18 +168,21 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         tri_rtype = reorder(tri_rtype)
         tri_order = reorder(tri_order, 1.0e9)
 
-        tile_center = np.zeros((C, 3), np.float32)
-        tile_rad2 = np.zeros(C, np.float32)
+        # tile AABBs: much tighter than bounding spheres for flat surface
+        # patches (a sphere pays the full diagonal), and the slab test is
+        # cheap; slop keeps the cull conservative under f32 rounding
+        tile_lo = np.full((C, 3), 1e30, np.float32)
+        tile_hi = np.full((C, 3), -1e30, np.float32)
         for c in range(C):
             verts = tri_v[base_pad + c * TRI_TILE : base_pad + (c + 1) * TRI_TILE]
             verts = verts[verts[:, 0, 0] < 1e29].reshape(-1, 3)
             if len(verts) == 0:
-                tile_center[c] = 1e30
                 continue
-            ctr = 0.5 * (verts.min(axis=0) + verts.max(axis=0))
-            tile_center[c] = ctr
-            tile_rad2[c] = (((verts - ctr) ** 2).sum(axis=1).max()) * (1 + 1e-5)
-        tiles = (tile_center, tile_rad2, C, base_pad)
+            span = verts.max(0) - verts.min(0)
+            slop = np.maximum(span, np.abs(verts).max()) * 1e-5 + 1e-6
+            tile_lo[c] = verts.min(axis=0) - slop
+            tile_hi[c] = verts.max(axis=0) + slop
+        tiles = (tile_lo, tile_hi, C, base_pad)
 
     coeffs = intersect_ops.triangle_coeffs_np(tri_v)
 
@@ -206,11 +209,11 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         "tri_order": prep(tri_order, T, order_fill),
     }
     if tiles is not None:
-        tile_center, tile_rad2, _, _ = tiles
+        tile_lo, tile_hi, _, _ = tiles
         # the always-tested base set size is recoverable statically as
         # T - C*TRI_TILE (trace_pallas derives it from the array shapes)
-        bufs["tile_center"] = prep(tile_center, tile_center.shape[0])
-        bufs["tile_rad2"] = prep(tile_rad2, tile_rad2.shape[0])
+        bufs["tile_lo"] = prep(tile_lo, tile_lo.shape[0])
+        bufs["tile_hi"] = prep(tile_hi, tile_hi.shape[0])
     if not contained:
         gate = np.zeros((M, T), np.float32)
         for t in range(sc.num_triangles):
@@ -382,7 +385,7 @@ def _make_kernel(
         if pretest:
             bnd_center, bnd_rad2, gate, *rest = rest
         if n_tiles:
-            tile_center, tile_rad2, *rest = rest
+            tile_lo, tile_hi, *rest = rest
         (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
@@ -482,18 +485,34 @@ def _make_kernel(
                     read_t(tri_order, 0),
                 )
 
+            d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
+
             if not n_tiles:
                 d_t, i_t, trin, tric, trie, trirt, triord = tri_block(0, T)
             else:
-                # block-coherent tile culling: test each Morton tile's bound
-                # against the whole ray block; skip its triangles when no
-                # live lane can hit it (scalar branch — cheap on TPU).
+                # block-coherent tile culling: slab-test each Morton tile's
+                # AABB against the whole ray block and skip its triangles
+                # when no live lane can hit it CLOSER than its current best
+                # hit (block divergence is a scalar branch — cheap on TPU).
+                # Entry/exit are ray-only, so they hoist out of the loop;
+                # the best-t comparison happens per tile as d_t shrinks.
                 # Oversized triangles (walls) live in an always-tested base
-                # set at the front of the tables.
-                tilec = [tcol(tile_center, k) for k in range(3)]
-                tile_r2 = tile_rad2[0, :][:, None]
-                t_tl = _sphere_t(tilec, tile_r2, o, d)  # [C,B]
-                tl_hit = (t_tl < BIG) & alive  # [C,B]
+                # set at the front of the tables — their hits immediately
+                # tighten the bound for every tile that follows.
+                lo_t = [tcol(tile_lo, k) for k in range(3)]
+                hi_t = [tcol(tile_hi, k) for k in range(3)]
+                inv = [
+                    1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+                    for k in range(3)
+                ]
+                t_en = jnp.zeros((1, B))
+                t_ex = jnp.full((1, B), BIG)
+                for k in range(3):
+                    ta = (lo_t[k] - o[k]) * inv[k]  # [C,B]
+                    tb = (hi_t[k] - o[k]) * inv[k]
+                    t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+                    t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+                tl_poss = (t_ex >= t_en) & (t_ex >= 0.0) & alive  # [C,B]
 
                 d_t, i_t, trin, tric, trie, trirt, triord = tri_block(
                     0, tile_base
@@ -506,7 +525,11 @@ def _make_kernel(
                     jnp.zeros((1, B)), jnp.full((1, B), 1.0e9),
                 )
                 for c in range(n_tiles):
-                    any_hit = jnp.sum(tl_hit[c, :].astype(jnp.float32)) > 0.0
+                    bound = jnp.minimum(d_t, d_s)  # closest hit so far
+                    cand = tl_poss[c, :][None, :] & (
+                        t_en[c, :][None, :] < bound
+                    )
+                    any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
                     res = jax.lax.cond(
                         any_hit,
                         lambda lo=tile_base + c * TRI_TILE: tri_block(
@@ -522,8 +545,6 @@ def _make_kernel(
                     trie = [jnp.where(better, res[4][k], trie[k]) for k in range(3)]
                     trirt = jnp.where(better, res[5], trirt)
                     triord = jnp.where(better, res[6], triord)
-
-            d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
 
             def read_s(tab, k):  # [1,B]
                 return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
@@ -784,7 +805,7 @@ def trace_pallas_regen_prim(
     M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     pretest = "gate" in kscene
-    n_tiles = kscene["tile_rad2"].shape[1] if "tile_rad2" in kscene else 0
+    n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
     scene_keys = _scene_keys(kscene)
 
@@ -821,7 +842,7 @@ def trace_pallas_regen_prim(
 
 _SPH_KEYS = "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order".split()
 _BND_KEYS = "bnd_center bnd_rad2 gate".split()
-_TILE_KEYS = "tile_center tile_rad2".split()
+_TILE_KEYS = "tile_lo tile_hi".split()
 _TRI_KEYS = (
     "tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
     "tri_normal tri_color tri_emis tri_rtype tri_order"
@@ -832,7 +853,7 @@ def _scene_keys(kscene: dict) -> list[str]:
     keys = list(_SPH_KEYS)
     if "gate" in kscene:
         keys += _BND_KEYS
-    if "tile_rad2" in kscene:
+    if "tile_lo" in kscene:
         keys += _TILE_KEYS
     return keys + _TRI_KEYS
 
@@ -875,7 +896,7 @@ def trace_pallas(
 
     fixed = uniforms is not None
     pretest = "gate" in kscene
-    n_tiles = kscene["tile_rad2"].shape[1] if "tile_rad2" in kscene else 0
+    n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
     scene_keys = _scene_keys(kscene)
     kernel = _make_kernel(

@@ -91,14 +91,14 @@ def test_kernel_scene_buffers_shapes(all_scenes):
     assert "gate" not in ks
     # 824 triangles > TILE_THRESHOLD → Morton culling tiles + a base set of
     # oversized (wall) triangles; T = base_pad + C*TRI_TILE
-    assert "tile_rad2" in ks
-    C = ks["tile_rad2"].shape[1]
+    assert "tile_lo" in ks
+    C = ks["tile_lo"].shape[1]
     T = ks["tri_n"].shape[1]
     base = T - C * tk.TRI_TILE
     assert C >= 1 and base >= 8
     # cornell (14 tris) stays untiled
     ks2 = tk.kernel_scene_buffers(pt.pack_scene(all_scenes["cornell"]))
-    assert "tile_rad2" not in ks2
+    assert "tile_lo" not in ks2
 
 
 def test_pretest_kept_when_sphere_does_not_contain_mesh():
