@@ -244,6 +244,7 @@ def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
         "rr_start_depth",
         "mode",
         "mock_random",
+        "pixel_chunk",
     ),
     donate_argnames=("accum",),
 )
@@ -263,6 +264,8 @@ def render_pass(
     mode: str = "fast",
     pixel_perm=None,
     mock_random: bool = False,
+    pixel_chunk: int = 0,
+    chunk_start=None,
 ):
     """One device dispatch: all pixels × samples_in_pass samples.
 
@@ -318,6 +321,29 @@ def render_pass(
             block=block,
         )
         return accum + rad[:n], rays.astype(jnp.float32)
+
+    if pixel_chunk:
+        # chunked dispatch: trace pixel_chunk pixels of the (padded,
+        # permuted) pixel order per call, bounding the [lanes, T]
+        # intersection intermediates for triangle-heavy XLA modes. The key
+        # folds in the chunk offset — without it, lanes at the same
+        # intra-chunk position would replay the same uniforms in every
+        # chunk (tile-correlated noise).
+        base_c = jax.lax.dynamic_slice(base, (chunk_start,), (pixel_chunk,))
+        key = rng.chunk_key(key, chunk_start)
+        pixel_idx = jnp.repeat(base_c, k)
+        sample_idx = (
+            jnp.tile(jnp.arange(k, dtype=jnp.int32), pixel_chunk) + sample_base
+        )
+        result = render_samples(
+            scene, cam, pixel_idx, sample_idx, key,
+            width=width, height=height, max_depth=max_depth,
+            rr_start_depth=rr_start_depth, mode=mode, mock_random=mock_random,
+        )
+        rad = result.radiance.reshape(pixel_chunk, k, 3).sum(axis=1)
+        acc_c = jax.lax.dynamic_slice(accum, (chunk_start, 0), (pixel_chunk, 3))
+        accum = jax.lax.dynamic_update_slice(accum, acc_c + rad, (chunk_start, 0))
+        return accum, result.rays_traced
 
     pixel_idx = jnp.repeat(base, k)
     sample_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), npix) + sample_base

@@ -222,6 +222,17 @@ def render(
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(config.seed)
 
+    budget = DEFAULT_LANE_BUDGET
+    if mode in ("exact", "fast"):
+        T = int(scene_bufs["tri_v"].shape[0])
+        if mode == "exact":
+            # the literal-arithmetic oracle materializes [lanes, T, 3]
+            # intermediates — bound them to ~2 GB of HBM
+            budget = min(budget, max(2_000_000_000 // (T * 36), 4096))
+        else:
+            # the matmul form materializes several [lanes, T] f32
+            # intermediates (det/u/v/t) — same bound, smaller factor
+            budget = min(budget, max(2_000_000_000 // (T * 16), 4096))
     if config.samples_per_pass:
         k = config.samples_per_pass
     elif mode.startswith(("pallas3", "pallasr")):
@@ -229,26 +240,42 @@ def render(
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
         k = min(spp, 128)
     else:
-        budget = DEFAULT_LANE_BUDGET
-        if mode == "exact":
-            # the literal-arithmetic oracle materializes [lanes, T, 3]
-            # intermediates — bound them to ~2 GB of HBM
-            T = int(scene_bufs["tri_v"].shape[0])
-            budget = min(budget, max(2_000_000_000 // (T * 36), 4096))
         k = _pick_samples_per_pass(npix, spp, budget)
     full_passes, remainder = divmod(spp, k)
+
+    # pixel chunking: when even one sample/pixel exceeds the lane budget
+    # (full-res renders of triangle-heavy scenes in the XLA modes), split
+    # the pixel axis across dispatches (config.pixel_chunk overrides)
+    chunk = 0
+    if pass_runner is None and mode in ("exact", "fast"):
+        chunk = config.pixel_chunk
+        if not chunk and npix > budget:
+            chunk = max(budget // k, 4096)
+        if chunk >= npix:
+            chunk = 0
+    npix_pad = npix if not chunk else ((npix + chunk - 1) // chunk) * chunk
+    n_chunks = npix_pad // chunk if chunk else 1
 
     # Z-order pixel traversal (see morton_pixel_order); accum lives in
     # permuted order until finalize. Only the single-device path uses it.
     perm = inv_perm = None
     if pass_runner is None:
         perm_np, inv_perm = morton_pixel_order(res.width, res.height)
+        if npix_pad != npix:
+            # pad lanes redo pixel 0; their accum rows are cropped at the end
+            perm_np = np.concatenate(
+                [perm_np, np.zeros(npix_pad - npix, perm_np.dtype)]
+            )
         perm = jnp.asarray(perm_np)
 
     def unpermute(arr: np.ndarray) -> np.ndarray:
         return arr if inv_perm is None else arr[inv_perm]
 
-    accum = accum_init if accum_init is not None else jnp.zeros((npix, 3), jnp.float32)
+    accum = (
+        accum_init
+        if accum_init is not None
+        else jnp.zeros((npix_pad, 3), jnp.float32)
+    )
     samples_done = 0
     pass_start = 0
     stats = RenderStats()
@@ -272,22 +299,28 @@ def render(
     def run_pass(accum, pass_idx: int, k_pass: int):
         if pass_runner is not None:
             return pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key)
-        return integrator.render_pass(
-            scene_bufs,
-            cam,
-            accum,
-            jnp.int32(pass_idx),
-            base_key,
-            jnp.int32(pass_idx * k),  # global sample base (k = FULL pass size)
-            width=res.width,
-            height=res.height,
-            samples_in_pass=k_pass,
-            max_depth=config.max_depth,
-            rr_start_depth=config.rr_start_depth,
-            mode=mode,
-            pixel_perm=perm,
-            mock_random=config.mock_random,
-        )
+        rays = jnp.zeros((), jnp.float32)
+        for c in range(n_chunks):
+            accum, r = integrator.render_pass(
+                scene_bufs,
+                cam,
+                accum,
+                jnp.int32(pass_idx),
+                base_key,
+                jnp.int32(pass_idx * k),  # global sample base (k = FULL pass)
+                width=res.width,
+                height=res.height,
+                samples_in_pass=k_pass,
+                max_depth=config.max_depth,
+                rr_start_depth=config.rr_start_depth,
+                mode=mode,
+                pixel_perm=perm,
+                mock_random=config.mock_random,
+                pixel_chunk=chunk,
+                chunk_start=jnp.int32(c * chunk) if chunk else None,
+            )
+            rays = rays + r
+        return accum, rays
 
     last_update = 0.0
     cancelled = False
@@ -331,7 +364,7 @@ def render(
         samples_done += k_pass * 1  # per pixel
         stats.num_rays += int(rays)
         stats.num_samples += k_pass * npix
-        stats.num_dispatches += 1
+        stats.num_dispatches += n_chunks
         maybe_progress()
 
         if checkpoint_path and checkpoint_every and (

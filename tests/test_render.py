@@ -126,3 +126,20 @@ def test_image_hash_stability():
     px2 = px.copy()
     px2[0, 0] += 1e-6
     assert Image.new(px2, Resolution(2, 5)).hash != h1
+
+
+def test_pixel_chunked_render(all_scenes):
+    """pixel_chunk splits the pixel axis across dispatches (the OOM guard
+    for full-res triangle scenes in the XLA modes): deterministic, same
+    image statistics as unchunked, correct padding crop."""
+    scene = all_scenes["cornell"]
+    cfg = _cfg(spp=32, backend="fast", pixel_chunk=256)  # 864 px -> 4 chunks
+    a = pt.render(scene, cfg, out_dir=None, verbose=False)
+    b = pt.render(scene, cfg.with_(pixel_chunk=0), out_dir=None, verbose=False)
+    c = pt.render(scene, cfg, out_dir=None, verbose=False)
+    np.testing.assert_array_equal(a.image.pixels, c.image.pixels)
+    assert a.image.pixels.shape == b.image.pixels.shape == (24 * 36, 3)
+    assert a.image.pixels.max() <= 1.0 and a.image.pixels.max() > 0.5
+    # chunk RNG folds in the offset: different streams, same statistics
+    assert abs(a.image.pixels.mean() - b.image.pixels.mean()) < 0.02
+    assert a.stats.num_dispatches == 4 * b.stats.num_dispatches
