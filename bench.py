@@ -30,7 +30,7 @@ def main():
     from path_tracer_tpu.render.raygen import camera_arrays
     from path_tracer_tpu.utils.config import RenderConfig, Resolution
 
-    # 512 spp = 4 full quota-128 regen passes: long enough that steady-state
+    # 512 spp = 2 full quota-256 regen passes: long enough that steady-state
     # throughput dominates dispatch overhead (100 spp under-reports by ~10%)
     spp = int(os.environ.get("BENCH_SPP", "512"))
     width, height = 1024, 768
@@ -45,7 +45,7 @@ def main():
     base_key = rng.root_key(0)
 
     if mode.startswith(("pallas3", "pallasr")):
-        k = min(spp, 128)
+        k = min(spp, 256)  # mirror pipeline's quota cap
     else:
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)

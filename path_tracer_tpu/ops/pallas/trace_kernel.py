@@ -649,6 +649,17 @@ def _make_kernel(
     return kernel
 
 
+def _scalar_any_left(done, quota):
+    """Count-of-unfinished as a scalar, folding the lane axis down to 128
+    first: full-array reductions over (8,256)+ lanes hit a Mosaic relayout
+    bug ("Non-singleton logical dimension is replicated"); (8,128) works."""
+    left = jnp.where(done >= quota, 0.0, 1.0)
+    while left.shape[-1] > 128:
+        h = left.shape[-1] // 2
+        left = left[..., :h] + left[..., h:]
+    return jnp.sum(left)
+
+
 def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
                rr_start_depth, loop="fori"):
     """Shape-agnostic regenerative main loop, shared by the static-scene
@@ -712,7 +723,7 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
     }
 
     def step(_, st):
-        all_done = jnp.sum(jnp.where(st["done"] >= quota, 0.0, 1.0)) == 0.0
+        all_done = _scalar_any_left(st["done"], quota) == 0.0
 
         def active(st):
             st = dict(st)
@@ -763,7 +774,7 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         # retained for guaranteed termination.
         def not_done(carry):
             i, st = carry
-            any_left = jnp.sum(jnp.where(st["done"] >= quota, 0.0, 1.0)) > 0.0
+            any_left = _scalar_any_left(st["done"], quota) > 0.0
             return (i < quota * max_depth) & any_left
 
         def wstep(carry):

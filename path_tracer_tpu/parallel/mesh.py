@@ -198,8 +198,8 @@ def render_sharded(
     k = config.samples_per_pass
     if not k:
         if mode.startswith(("pallas3:", "pallasr:")):
-            # per-shard quota capped at 128 (same as the single-device path)
-            k = min(config.samples_per_pixel, 128 * sp)
+            # per-shard quota capped at 256 (same as the single-device path)
+            k = min(config.samples_per_pixel, 256 * sp)
         else:
             from path_tracer_tpu.render.pipeline import (
                 DEFAULT_LANE_BUDGET,

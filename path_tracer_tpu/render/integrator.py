@@ -174,7 +174,7 @@ def trace_with_kernel_regen(pixels, scene_key: str, cam_key: str, key,
     from path_tracer_tpu.ops.pallas.trace_v2 import trace_pallas_regen
 
     n = pixels.shape[0]
-    block = 1024
+    block = 2048  # measured best (1024 leaves ~35% on the table; 4096 flat)
     n_pad = ((n + block - 1) // block) * block
     if n_pad != n:
         pixels = jnp.concatenate(

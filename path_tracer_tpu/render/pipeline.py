@@ -238,7 +238,9 @@ def render(
     elif mode.startswith(("pallas3", "pallasr")):
         # regenerative kernel: state is per-PIXEL (not per-sample), so big
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
-        k = min(spp, 128)
+        # and per-dispatch overhead; 256 keeps progress/cancel granularity
+        # under a second on one chip
+        k = min(spp, 256)
     else:
         k = _pick_samples_per_pass(npix, spp, budget)
     full_passes, remainder = divmod(spp, k)
@@ -288,6 +290,8 @@ def render(
             and int(ck["spp"]) == spp
             and int(ck["npix"]) == npix
             and int(ck["k"]) == k
+            # padded accumulator must match this run's chunking
+            and ck["accum"].shape[0] == npix_pad
         ):
             accum = jnp.asarray(ck["accum"])
             samples_done = int(ck["samples_done"])

@@ -94,10 +94,10 @@ def test_sharded_regen_kernel(all_scenes, sp):
     assert px.shape == (16 * 24, 3)
     assert np.isfinite(px).all() and px.max() > 0.1
     # every sample traces >=1 ray and <=max_depth rays; the count includes
-    # block-padding lanes (each tile pads to a 1024-lane block — negligible
-    # at real resolutions, 5-10x here at 384 pixels)
+    # block-padding lanes (each tile pads to a 2048-lane block — negligible
+    # at real resolutions, 10-20x here at 384 pixels)
     n_samples = 16 * 24 * cfg.samples_per_pixel
     dp = 4 // sp
-    padded_samples = dp * 1024 * (cfg.samples_per_pixel // sp) * sp
+    padded_samples = dp * 2048 * (cfg.samples_per_pixel // sp) * sp
     assert n_samples <= a.stats.num_rays <= padded_samples * cfg.max_depth
     np.testing.assert_array_equal(px, b.image.pixels)
