@@ -42,6 +42,60 @@ BIG = 3.0e38  # ~f32 max: "miss" sentinel (inf-free math inside the kernel)
 DEFAULT_BLOCK = 512
 
 
+
+def detect_quad_pairs(packed: ScenePacked):
+    """Find consecutive triangle pairs (in packed order) that form a
+    parallelogram with identical material — collapsible into ONE quad
+    primitive whose Möller–Trumbore acceptance is u,v ∈ [0,1]² instead of
+    u+v ≤ 1. Exact-parity argument: the pair shares a plane, so the quad's
+    t/normal equal the triangles' (bitwise for the axis-aligned wall quads
+    of scenes.rs:321-367); the parallelogram is exactly the union of the
+    two triangles; and excluding the departed QUAD is equivalent to
+    excluding the departed triangle because the coplanar partner is always
+    rejected by the t > EPS_TRI_T test. The first triangle is rotated so
+    the parallelogram corner (its vertex not shared with the partner)
+    comes first; the partner's unique vertex must equal p1 + p2 - p0 in
+    exact f32 (conservative: approximate quads stay as triangles).
+
+    Returns (quads, covered): quads maps first-triangle packed index →
+    rotated [3,3] vertices; covered is the set of consumed indices."""
+    nt = packed.num_triangles
+    tv = np.asarray(packed.tri_v[:nt], np.float32)
+    color = np.asarray(packed.tri_color[:nt])
+    emis = np.asarray(packed.tri_emis[:nt])
+    rtype = np.asarray(packed.tri_rtype[:nt])
+    mesh = np.asarray(packed.tri_mesh[:nt])
+    quads: dict[int, np.ndarray] = {}
+    covered: set[int] = set()
+    i = 0
+    while i + 1 < nt:
+        j = i + 1
+        if (
+            mesh[i] == mesh[j]
+            and np.array_equal(color[i], color[j])
+            and np.array_equal(emis[i], emis[j])
+            and rtype[i] == rtype[j]
+        ):
+            A, B = tv[i], tv[j]
+            bset = {tuple(v) for v in B}
+            uniq = [k for k in range(3) if tuple(A[k]) not in bset]
+            if len(uniq) == 1:
+                k = uniq[0]
+                p0, p1, p2 = A[k], A[(k + 1) % 3], A[(k + 2) % 3]
+                shared = {tuple(p1), tuple(p2)}
+                uniq_b = [tuple(v) for v in B if tuple(v) not in shared]
+                q = p1 + p2 - p0  # f32 arithmetic, exact-match required
+                if len(uniq_b) == 1 and np.array_equal(
+                    np.asarray(uniq_b[0], np.float32), q
+                ):
+                    quads[i] = np.stack([p0, p1, p2])
+                    covered.update((i, j))
+                    i += 2
+                    continue
+        i += 1
+    return quads, covered
+
+
 def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -102,15 +156,34 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
     # --- Morton-ordered culling tiles for triangle-heavy scenes ---
     # (tiling reorders triangles, which is incompatible with the [M,T] gate
     # matrix — only tile when the pre-test was dropped, i.e. `contained`)
-    tri_v = np.asarray(sc.tri_v, np.float32)
-    tri_normal = np.asarray(sc.tri_normal, np.float32)
-    tri_color = np.asarray(sc.tri_color, np.float32)
-    tri_emis = np.asarray(sc.tri_emis, np.float32)
-    tri_rtype = np.asarray(sc.tri_rtype, np.float32)
-    tri_order = np.minimum(np.asarray(sc.tri_order), 2**24).astype(np.float32)
+    # collapse parallelogram pairs into quads (identical hit semantics,
+    # half the Möller–Trumbore work; see detect_quad_pairs)
+    quads, covered = detect_quad_pairs(sc)
+    keep = [i for i in range(sc.num_triangles)
+            if i not in covered or i in quads]
+    nt = len(keep)
+    T = max(((nt + 7) // 8) * 8, 8)
+
+    def collapse(src, fill, verts=False):
+        a = np.asarray(src, np.float32)
+        out = np.full((T,) + a.shape[1:], fill, np.float32)
+        for row, i in enumerate(keep):
+            out[row] = quads[i] if (verts and i in quads) else a[i]
+        return out
+
+    tri_v = collapse(sc.tri_v, 1e30, verts=True)
+    tri_normal = collapse(sc.tri_normal, 0.0)
+    tri_color = collapse(sc.tri_color, 0.0)
+    tri_emis = collapse(sc.tri_emis, 0.0)
+    tri_rtype = collapse(sc.tri_rtype, 0.0)
+    tri_order = collapse(np.minimum(np.asarray(sc.tri_order), 2**24), 1.0e9)
+    tri_quad = np.zeros(T, np.float32)
+    for row, i in enumerate(keep):
+        tri_quad[row] = 1.0 if i in quads else 0.0
+    tri_mesh_c = np.asarray(sc.tri_mesh)[keep] if nt else np.zeros(0, np.int64)
+
     tiles = None
-    if contained and sc.num_triangles > TILE_THRESHOLD:
-        nt = sc.num_triangles
+    if contained and nt > TILE_THRESHOLD:
         verts_all = tri_v[:nt]
         cent = verts_all.mean(axis=1)
         # triangles nearly as large as the scene (walls) would bloat any
@@ -167,6 +240,7 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         tri_emis = reorder(tri_emis)
         tri_rtype = reorder(tri_rtype)
         tri_order = reorder(tri_order, 1.0e9)
+        tri_quad = reorder(tri_quad)
 
         # tile AABBs: much tighter than bounding spheres for flat surface
         # patches (a sphere pays the full diagonal), and the slab test is
@@ -207,6 +281,7 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         "tri_emis": prep(tri_emis, T),
         "tri_rtype": prep(tri_rtype, T),
         "tri_order": prep(tri_order, T, order_fill),
+        "tri_quad": prep(tri_quad, T),
     }
     if tiles is not None:
         tile_lo, tile_hi, _, _ = tiles
@@ -216,8 +291,8 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
         bufs["tile_hi"] = prep(tile_hi, tile_hi.shape[0])
     if not contained:
         gate = np.zeros((M, T), np.float32)
-        for t in range(sc.num_triangles):
-            gate[sc.tri_mesh[t], t] = 1.0
+        for t in range(nt):
+            gate[tri_mesh_c[t], t] = 1.0
         bufs["bnd_center"] = prep(sc.bnd_center, M, 1e30)
         bufs["bnd_rad2"] = prep(np.asarray(sc.bnd_radius) ** 2, M)
         bufs["gate"] = gate
@@ -388,7 +463,7 @@ def _make_kernel(
             tile_lo, tile_hi, *rest = rest
         (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
-            tri_normal, tri_color, tri_emis, tri_rtype, tri_order,
+            tri_normal, tri_color, tri_emis, tri_rtype, tri_order, tri_quad,
             *outs,
         ) = rest
         depth0 = seed_ref[0, 1] if regen is None else jnp.int32(0)
@@ -460,10 +535,15 @@ def _make_kernel(
                 u_ = udet * inv
                 v_ = vdet * inv
                 t_ = tdet * inv
+                # quads accept u,v ∈ [0,1]²; triangles u+v ≤ 1. Select on
+                # the f32 operand, not the booleans — i1-vector selects hit
+                # an unsupported trunci in Mosaic lowering.
+                isq = tri_quad[0, lo : lo + size][:, None] > 0.5
+                uv_hi = jnp.where(isq, v_, u_ + v_)
                 valid = (
                     dvalid
                     & (u_ >= 0.0) & (u_ <= 1.0)
-                    & (v_ >= 0.0) & (u_ + v_ <= 1.0)
+                    & (v_ >= 0.0) & (uv_hi <= 1.0)
                     & (t_ > EPS_TRI_T)
                     & (idx != prev)
                 )
@@ -856,7 +936,7 @@ _BND_KEYS = "bnd_center bnd_rad2 gate".split()
 _TILE_KEYS = "tile_lo tile_hi".split()
 _TRI_KEYS = (
     "tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
-    "tri_normal tri_color tri_emis tri_rtype tri_order"
+    "tri_normal tri_color tri_emis tri_rtype tri_order tri_quad"
 ).split()
 
 

@@ -30,7 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.models.scene import ScenePacked
-from path_tracer_tpu.ops.pallas.trace_kernel import _uniform, shade_phase
+from path_tracer_tpu.ops.pallas.trace_kernel import (
+    _uniform, detect_quad_pairs, shade_phase,
+)
 
 BIG = 3.0e38
 _EARLY_EXIT = True  # toggled for Mosaic debugging
@@ -80,6 +82,10 @@ def build_scene_consts(packed: ScenePacked) -> tuple | None:
             mesh_gated[m_idx] = len(bnd)
             bnd.append((tuple(map(f, c)), f(r * r)))
 
+    # consecutive parallelogram pairs collapse into quad prims (identical
+    # hit semantics, half the Möller–Trumbore work — see detect_quad_pairs)
+    quads, covered = detect_quad_pairs(packed)
+
     # interleave spheres and triangles in global packed order (both arrays
     # are already in reversed-object order; merge by their `order` rank,
     # triangles of one mesh staying consecutive)
@@ -100,12 +106,18 @@ def build_scene_consts(packed: ScenePacked) -> tuple | None:
             ))
             si += 1
         else:
-            v = packed.tri_v[ti].astype(np.float64)
+            if ti in covered and ti not in quads:
+                ti += 1  # second half of a quad pair — consumed
+                continue
+            kind = "q" if ti in quads else "t"
+            v = (
+                quads[ti] if ti in quads else packed.tri_v[ti]
+            ).astype(np.float64)
             a, e1, e2 = v[0], v[1] - v[0], v[2] - v[0]
             n = np.cross(e1, e2)
             nn = np.linalg.norm(n)
             prims.append((
-                "t",
+                kind,
                 tuple(map(f, a)),
                 tuple(map(f, e1)),
                 tuple(map(f, e2)),
@@ -171,7 +183,8 @@ def make_prim_scan(prims, bnd):
                 aux = (cx, cy, cz)
                 is_sph, previd = 1.0, -1.0
             else:
-                (_, a, e1, e2, n, nu, color, emis, rtype, previd, gate_id) = prim
+                (kind, a, e1, e2, n, nu, color, emis, rtype, previd, gate_id
+                 ) = prim
                 det = -(d[0] * n[0] + d[1] * n[1] + d[2] * n[2])
                 udet = (
                     m[0] * e2[0] + m[1] * e2[1] + m[2] * e2[2]
@@ -194,10 +207,13 @@ def make_prim_scan(prims, bnd):
                 u_ = udet * inv
                 v_ = vdet * inv
                 t_p = tdet * inv
+                # quads ("q") accept the whole parallelogram u,v ∈ [0,1]²;
+                # triangles the half u+v ≤ 1 — same op count either way
+                uv_hi = (v_ <= 1.0) if kind == "q" else (u_ + v_ <= 1.0)
                 valid = (
                     dvalid
                     & (u_ >= 0.0) & (u_ <= 1.0)
-                    & (v_ >= 0.0) & (u_ + v_ <= 1.0)
+                    & (v_ >= 0.0) & uv_hi
                     & (t_p > EPS_TRI_T)
                     & (prev != previd)
                 )
