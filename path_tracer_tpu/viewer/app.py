@@ -301,7 +301,11 @@ def make_handler(state: ViewerState):
                     self._send(404, b"{}")
                     return
                 self._send(200, json.dumps(out).encode())
-            except (ValueError, RuntimeError, KeyError) as e:
+            except KeyError as e:
+                self._send(400, json.dumps(
+                    {"error": f"missing field {e} for {path}"}
+                ).encode())
+            except (ValueError, RuntimeError) as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
 
     return Handler
