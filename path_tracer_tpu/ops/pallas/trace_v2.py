@@ -43,6 +43,8 @@ EPS_TRI_T = 1e-4
 V2_MAX_PRIMS = 128
 SUB = 8  # sublane rows per ray block
 
+_LOOP_OVERRIDE: str | None = None  # force regen loop style (benchmarking)
+
 # static scene registry: jit can't trace python constants through arguments,
 # so prepared scenes register here under a content key (passed statically).
 _SCENES: dict[str, tuple] = {}
@@ -435,8 +437,9 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
     prim_scan = make_prim_scan(prims, bnd)
     # open few-primitive scenes: most samples die within a bounce or two, so
     # a true early-exit while loop beats fori+cond; enclosed scenes (walls →
-    # long paths) pipeline better with fori
-    loop = "while" if len(prims) <= 8 else "fori"
+    # long paths) pipeline better with fori. _LOOP_OVERRIDE is a tuning knob
+    # for benchmarking the choice.
+    loop = _LOOP_OVERRIDE or ("while" if len(prims) <= 8 else "fori")
 
     def kernel(seed_ref, pix_ref, rad_ref, count_ref):
         pltpu.prng_seed(

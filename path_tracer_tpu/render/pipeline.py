@@ -358,6 +358,17 @@ def render(
     # resume may land inside the remainder
     schedule = [(i, kp) for (i, kp) in schedule if i >= pass_start]
 
+    # ray counts are fetched lazily: an int() per pass would block the host
+    # until the device finishes, serializing passes — keeping them as device
+    # handles lets jax queue the next pass while the previous one runs
+    ray_handles: list = []
+
+    def drain_rays():
+        nonlocal ray_handles
+        for r in ray_handles:
+            stats.num_rays += int(r)
+        ray_handles = []
+
     for pass_idx, k_pass in schedule:
         if cancel is not None and cancel():
             if verbose:
@@ -365,8 +376,8 @@ def render(
             cancelled = True
             break
         accum, rays = run_pass(accum, pass_idx, k_pass)
+        ray_handles.append(rays)
         samples_done += k_pass * 1  # per pixel
-        stats.num_rays += int(rays)
         stats.num_samples += k_pass * npix
         stats.num_dispatches += n_chunks
         maybe_progress()
@@ -374,6 +385,7 @@ def render(
         if checkpoint_path and checkpoint_every and (
             (pass_idx + 1) % checkpoint_every == 0
         ):
+            drain_rays()  # checkpoint must record an exact ray count
             accum.block_until_ready()
             np.savez(
                 checkpoint_path,
@@ -390,6 +402,7 @@ def render(
     # ---- finalize ----
     effective_spp = max(samples_done, 1)
     final = integrator.finalize(accum, effective_spp)
+    drain_rays()  # host fetch: syncs all queued passes
     final.block_until_ready()
     duration = time.perf_counter() - t_start
     stats.wall_seconds = duration
