@@ -857,9 +857,15 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
             any_left = _scalar_any_left(st["done"], quota) > 0.0
             return (i < quota * max_depth) & any_left
 
+        # 4 steps per while iteration: amortizes the scalar all-done sync
+        # (the per-step cond inside `step` makes overshoot a no-op)
+        UNROLL = 4
+
         def wstep(carry):
             i, st = carry
-            return (i + 1, step(i, st))
+            for _ in range(UNROLL):
+                st = step(i, st)
+            return (i + UNROLL, st)
 
         _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
     else:
