@@ -182,3 +182,52 @@ def test_regen_kernels_agree(all_scenes):
     frac = (np.abs(a - b).sum(axis=1) < 1e-3).mean()
     assert frac > 0.999, frac
     np.testing.assert_allclose(float(c3), float(cp), rtol=1e-6)
+
+
+def test_quad_detector_rejects_non_parallelograms():
+    """Coplanar same-material pairs that do NOT form an exact parallelogram
+    (trapezoids, mismatched materials) must stay triangles; a translated
+    parallelogram must collapse — and either way the kernel stays lane-exact
+    vs the XLA integrator."""
+    from path_tracer_tpu.models.geometry import Mesh
+    from path_tracer_tpu.models.material import Material, ReflectType
+    from path_tracer_tpu.models.scene import SceneDescriptor, SceneObject
+
+    def scene_of(tris, pos=(0.0, 0.0, 0.0)):
+        mesh = Mesh.from_triangles(np.asarray(tris, np.float32))
+        return SceneDescriptor(
+            id="t",
+            objects=[
+                SceneObject.from_mesh(
+                    np.asarray(pos, np.float32), mesh,
+                    Material(np.full(3, 0.8, np.float32), np.zeros(3),
+                             ReflectType.DIFFUSE),
+                )
+            ],
+        )
+
+    # trapezoid: second unique vertex != p1 + p2 - p0
+    trap = [
+        [[-1, -1, 0], [-1, 1, 0], [1, -1, 0]],
+        [[1, -1, 0], [-1, 1, 0], [0.5, 1, 0]],
+    ]
+    q, cov = tk.detect_quad_pairs(pt.pack_scene(scene_of(trap)))
+    assert not q and not cov
+
+    # translated, non-axis-aligned parallelogram: must collapse
+    a = np.array([0.3, -0.2, 0.1])
+    e1 = np.array([1.0, 0.25, 0.0])
+    e2 = np.array([-0.125, 1.0, 0.5])
+    par = [
+        [a, a + e1, a + e2],
+        [(a + e1), (a + e1 + e2), (a + e2)],
+    ]
+    packed = pt.pack_scene(scene_of(par, pos=(0.5, 0.25, -3.0)))
+    q, cov = tk.detect_quad_pairs(packed)
+    assert len(q) == 1 and len(cov) == 2
+
+    # lane-exact: kernel (quad) vs XLA integrator (triangles)
+    scene = scene_of(par, pos=(0.5, 0.25, -3.0))
+    pr, prays, xr, xrays = _run_both(scene, n=512, max_depth=4)
+    assert prays == xrays
+    assert (np.abs(pr - xr).sum(axis=1) < 1e-3).mean() > 0.995
