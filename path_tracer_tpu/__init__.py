@@ -30,6 +30,12 @@ from path_tracer_tpu.models.scene import (
 )
 from path_tracer_tpu.models.scenes import builtin_scenes, load_scene, load_scene_ids
 from path_tracer_tpu.utils.config import RenderConfig, Resolution
+# NOTE: this must stay an eager import — `render` (the function) shares its
+# name with the `render` subpackage, and only an explicit module-level
+# assignment shadows the submodule binding (a lazy __getattr__ never fires
+# for an attribute that already exists). A light daemon client isn't worth
+# the trap: this container's sitecustomize imports jax at interpreter start
+# anyway.
 from path_tracer_tpu.render.pipeline import render, RenderDone, RenderUpdate
 
 __all__ = [

@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--daemon", action="store_true",
+                   help="run as a resident render daemon (see --socket); "
+                        "subsequent CLI invocations dispatch to it and skip "
+                        "the ~15 s fresh-process jax/compile-cache startup")
+    p.add_argument("--socket", default=None, metavar="PATH",
+                   help="daemon socket path (default ~/.cache/pt_tpu/daemon.sock)")
+    p.add_argument("--no-daemon", action="store_true",
+                   help="render in-process even when a daemon is running")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the pure-functional analog "
                         "of the reference's race/sanitizer story: NaNs are "
@@ -81,8 +89,77 @@ def resolve_scene(name: str, scene_dir: str, mesh_dir: str):
     return load_scene(name, scene_dir, mesh_dir)
 
 
+def _dispatch_to_daemon(args) -> int:
+    """Forward the job to a resident daemon (milliseconds of client-side
+    startup — no jax import). Returns the process exit code."""
+    from path_tracer_tpu import server
+
+    t0 = time.perf_counter()
+
+    def progress(p):
+        if args.quiet:
+            return
+        elapsed = time.perf_counter() - t0
+        eta = elapsed / max(p, 1e-9)
+        sys.stderr.write(
+            f"\rRendering... {p * 100:5.1f}%  elapsed {format_eta(elapsed)}"
+            f" / estimated {format_eta(eta)}   "
+        )
+        sys.stderr.flush()
+
+    reply = server.submit(
+        {
+            "scene": args.scene,
+            "spp": args.spp,
+            "res_y": args.res_y,
+            "seed": args.seed,
+            "max_depth": args.max_depth,
+            "backend": args.backend,
+            "samples_per_pass": args.samples_per_pass,
+            "out_dir": args.out_dir,
+            "validate": not args.no_validate,
+        },
+        socket_path=args.socket or server.DEFAULT_SOCKET,
+        progress=progress,
+    )
+    if not args.quiet:
+        sys.stderr.write("\n")
+    if "error" in reply:
+        print(f"daemon error: {reply['error']}", file=sys.stderr)
+        return 1
+    if not args.quiet:
+        print(
+            f"Done in {reply['duration']:.2f} s —"
+            f" {reply['msamples_per_sec']:.1f} Msamples/s,"
+            f" {reply['mrays_per_sec']:.1f} Mrays/s ({reply['num_rays']} rays,"
+            f" via daemon)"
+        )
+        if reply.get("ppm_path"):
+            print(f"Wrote {reply['ppm_path']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.daemon:
+        from path_tracer_tpu import server
+
+        return server.main(
+            (["--socket", args.socket] if args.socket else [])
+            + ["--scene-dir", args.scene_dir, "--mesh-dir", args.mesh_dir,
+               "--out-dir", args.out_dir]
+        )
+
+    # a resident daemon renders without fresh-process startup costs; use it
+    # when present. PT_TPU_NO_DAEMON opts out globally (tests set it so CI
+    # never silently depends on a daemon that happens to be running).
+    if (not args.no_daemon and not args.list_scenes
+            and not os.environ.get("PT_TPU_NO_DAEMON")):
+        from path_tracer_tpu import server
+
+        if server.daemon_running(args.socket or server.DEFAULT_SOCKET):
+            return _dispatch_to_daemon(args)
 
     # Persistent compilation cache: essential on TPU (cold compiles are slow).
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",

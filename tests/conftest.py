@@ -7,6 +7,8 @@ and multi-device tests on a virtual CPU mesh so CI needs no TPU.
 
 import os
 
+os.environ["PT_TPU_NO_DAEMON"] = "1"
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

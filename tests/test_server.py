@@ -1,0 +1,54 @@
+"""Render daemon: unix-socket protocol, job isolation, shutdown."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from path_tracer_tpu import server
+
+
+@pytest.fixture
+def daemon(tmp_path):
+    sock = str(tmp_path / "d.sock")
+    ready = threading.Event()
+    t = threading.Thread(
+        target=server.serve,
+        args=(sock,),
+        kwargs=dict(scene_dir="scenes", mesh_dir="meshes",
+                    out_dir=str(tmp_path / "out"), ready=ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    yield sock
+    server.submit({"shutdown": True}, socket_path=sock)
+    t.join(10)
+
+
+def test_daemon_renders_and_streams_progress(daemon, tmp_path):
+    seen = []
+    reply = server.submit(
+        {"scene": "two-spheres", "spp": 8, "res_y": 24},
+        socket_path=daemon, progress=seen.append,
+    )
+    assert reply["done"] and not reply["cancelled"]
+    assert reply["num_rays"] > 0
+    assert os.path.exists(reply["ppm_path"])
+    assert all(0.0 <= p <= 1.0 for p in seen)
+
+
+def test_daemon_job_isolation(daemon):
+    bad = server.submit({"scene": "nope"}, socket_path=daemon)
+    assert "error" in bad and "nope" in bad["error"]
+    # the daemon must keep serving after a failed job
+    ok = server.submit({"scene": "two-spheres", "spp": 4, "res_y": 24},
+                       socket_path=daemon)
+    assert ok.get("done")
+
+
+def test_daemon_running_and_refused():
+    assert not server.daemon_running("/tmp/definitely-not-a-socket")
+    with pytest.raises(ConnectionError):
+        server.submit({}, socket_path="/tmp/definitely-not-a-socket")
