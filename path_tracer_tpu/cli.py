@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the ~15 s fresh-process jax/compile-cache startup")
     p.add_argument("--socket", default=None, metavar="PATH",
                    help="daemon socket path (default ~/.cache/pt_tpu/daemon.sock)")
+    p.add_argument("--warm", default=None, metavar="SPECS",
+                   help="with --daemon: pre-compile scene:res_y kernels "
+                        "before serving (e.g. cornell:768)")
     p.add_argument("--no-daemon", action="store_true",
                    help="render in-process even when a daemon is running")
     p.add_argument("--debug-nans", action="store_true",
@@ -147,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
 
         return server.main(
             (["--socket", args.socket] if args.socket else [])
+            + (["--warm", args.warm] if args.warm else [])
             + ["--scene-dir", args.scene_dir, "--mesh-dir", args.mesh_dir,
                "--out-dir", args.out_dir]
         )

@@ -119,6 +119,25 @@ def _render_job(job: dict, send, scene_dir: str, mesh_dir: str,
     }
 
 
+def warm(specs: list[str], scene_dir: str, mesh_dir: str) -> None:
+    """Pre-compile kernels for "scene:res_y" specs so the first real job
+    doesn't pay the compile/cache load (renders one full-quota pass — the
+    same kernel real jobs reuse — and discards the image)."""
+    from path_tracer_tpu.models.scenes import load_scene
+    from path_tracer_tpu.render.pipeline import render
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    for spec in specs:
+        sid, _, res = spec.partition(":")
+        scene = load_scene(sid, scene_dir, mesh_dir)
+        # spp = quota cap: the 1-pass kernel is the one real jobs reuse
+        render(scene, RenderConfig(samples_per_pixel=256,
+                                   resolution=Resolution.from_height(
+                                       int(res or 300))),
+               out_dir=None, verbose=False)
+        print(f"warmed {spec}")
+
+
 def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
           mesh_dir: str = "meshes", out_dir: str = "out",
           ready: threading.Event | None = None) -> None:
@@ -175,11 +194,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scene-dir", default="scenes")
     p.add_argument("--mesh-dir", default="meshes")
     p.add_argument("--out-dir", default="out")
+    p.add_argument("--warm", default=None, metavar="SPECS",
+                   help="comma-separated scene:res_y list to pre-compile "
+                        "before serving (e.g. cornell:768,mesh:768)")
     args = p.parse_args(argv)
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "pt_tpu_xla"),
     )
+    if args.warm:
+        warm(args.warm.split(","), args.scene_dir, args.mesh_dir)
     print(f"render daemon listening on {args.socket}")
     serve(args.socket, scene_dir=args.scene_dir, mesh_dir=args.mesh_dir,
           out_dir=args.out_dir)
