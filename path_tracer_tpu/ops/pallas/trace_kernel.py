@@ -107,6 +107,13 @@ def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
 
 TRI_TILE = 64  # triangles per culling tile (sublane-aligned; measured best)
 TILE_THRESHOLD = 192  # tile + cull only above this many triangles
+# lane width of each tile-cull decision. A whole-block (1024-lane) ANY almost
+# never skips for incoherent bounce rays (P(skip) ~ (1-p)^1024); 128-lane
+# chunks would skip far more often — but MEASURED 4x SLOWER on the mesh
+# scene (8.4 vs 36.8 Mray/s at CULL_CHUNK=128): 13 tiles x 8 chunks of
+# scalar branches per bounce step cost more than the vector work they skip.
+# Keep whole-block (0); the chunked machinery stays for narrower hardware.
+CULL_CHUNK = 0
 
 
 def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
@@ -506,14 +513,20 @@ def _make_kernel(
                 o[0] * d[1] - o[1] * d[0],
             ]
 
-            def tri_block(lo, size):
-                """Intersect triangles [lo, lo+size) (static slice); returns
-                per-ray (d_t, i_t, normal3, color3, emis3, rtype, order)."""
+            def tri_block(lo, size, rays=None, lane=(0, None)):
+                """Intersect triangles [lo, lo+size) (static slice) against
+                the ray lane window `lane=(start, width)` (whole block when
+                width is None); rays=(o, d, m, prev) defaults to the full
+                block vectors. Returns per-ray (d_t, i_t, normal3, color3,
+                emis3, rtype, order), each [1, width]."""
+                ls, lw = lane
+                lw = B if lw is None else lw
+                ob, db, mb, prevb = rays if rays is not None else (o, d, m, prev)
 
                 def col(tab, k):
                     return tab[k, lo : lo + size][:, None]
 
-                def dotT(tab, vec):  # [3,size] x 3x[1,B] -> [size,B]
+                def dotT(tab, vec):  # [3,size] x 3x[1,lw] -> [size,lw]
                     return (
                         col(tab, 0) * vec[0]
                         + col(tab, 1) * vec[1]
@@ -521,14 +534,14 @@ def _make_kernel(
                     )
 
                 idx = (
-                    jax.lax.broadcasted_iota(jnp.int32, (size, B), 0)
+                    jax.lax.broadcasted_iota(jnp.int32, (size, lw), 0)
                     .astype(jnp.float32)
                     + float(lo)
                 )
-                det = -dotT(tri_n, d)
-                udet = dotT(tri_e2, m) - dotT(tri_e2xa, d)
-                vdet = -dotT(tri_e1, m) - dotT(tri_axe1, d)
-                tdet = dotT(tri_n, o) - tri_na[0, lo : lo + size][:, None]
+                det = -dotT(tri_n, db)
+                udet = dotT(tri_e2, mb) - dotT(tri_e2xa, db)
+                vdet = -dotT(tri_e1, mb) - dotT(tri_axe1, db)
+                tdet = dotT(tri_n, ob) - tri_na[0, lo : lo + size][:, None]
 
                 dvalid = jnp.abs(det) >= EPS_TRI_DET
                 inv = 1.0 / jnp.where(dvalid, det, 1.0)
@@ -545,10 +558,10 @@ def _make_kernel(
                     & (u_ >= 0.0) & (u_ <= 1.0)
                     & (v_ >= 0.0) & (uv_hi <= 1.0)
                     & (t_ > EPS_TRI_T)
-                    & (idx != prev)
+                    & (idx != prevb)
                 )
                 if pretest:
-                    valid &= tri_ok[lo : lo + size] > 0.0
+                    valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
                 t_tri = jnp.where(valid, t_, BIG)
                 d_t, oh_t, i_t = _first_min_sublane(t_tri, idx)
 
@@ -563,6 +576,21 @@ def _make_kernel(
                     [read_t(tri_emis, k) for k in range(3)],
                     read_t(tri_rtype, 0),
                     read_t(tri_order, 0),
+                )
+
+            def merge_closer(cur, res):
+                """strictly-closer merge of two tri_block results."""
+                better = res[0] < cur[0]  # Morton-order first-wins on ties
+
+                def w(a, b):
+                    return jnp.where(better, a, b)
+
+                return (
+                    w(res[0], cur[0]), w(res[1], cur[1]),
+                    [w(res[2][k], cur[2][k]) for k in range(3)],
+                    [w(res[3][k], cur[3][k]) for k in range(3)],
+                    [w(res[4][k], cur[4][k]) for k in range(3)],
+                    w(res[5], cur[5]), w(res[6], cur[6]),
                 )
 
             d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
@@ -594,37 +622,70 @@ def _make_kernel(
                     t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
                 tl_poss = (t_ex >= t_en) & (t_ex >= 0.0) & alive  # [C,B]
 
-                d_t, i_t, trin, tric, trie, trirt, triord = tri_block(
-                    0, tile_base
-                )
-                miss1 = jnp.full((1, B), BIG)
-                zero3 = [jnp.zeros((1, B)) for _ in range(3)]
-                skip_val = (
-                    miss1, jnp.full((1, B), -1.0),
-                    zero3, list(zero3), list(zero3),
-                    jnp.zeros((1, B)), jnp.full((1, B), 1.0e9),
-                )
-                for c in range(n_tiles):
-                    bound = jnp.minimum(d_t, d_s)  # closest hit so far
-                    cand = tl_poss[c, :][None, :] & (
-                        t_en[c, :][None, :] < bound
+                base_res = tri_block(0, tile_base)
+                CW = CULL_CHUNK if 0 < CULL_CHUNK < B else B
+                chunk_states = []
+                for j in range(B // CW):
+                    ls = j * CW
+
+                    def sl(x):
+                        return x[:, ls : ls + CW]
+
+                    st = (
+                        sl(base_res[0]), sl(base_res[1]),
+                        [sl(v) for v in base_res[2]],
+                        [sl(v) for v in base_res[3]],
+                        [sl(v) for v in base_res[4]],
+                        sl(base_res[5]), sl(base_res[6]),
+                    ) if CW < B else base_res
+                    rays_j = (
+                        [sl(x) for x in o], [sl(x) for x in d],
+                        [sl(x) for x in m], sl(prev),
+                    ) if CW < B else None
+                    d_s_j = sl(d_s) if CW < B else d_s
+
+                    lw = CW if CW < B else B
+                    miss1 = jnp.full((1, lw), BIG)
+                    zero3 = [jnp.zeros((1, lw)) for _ in range(3)]
+                    skip_val = (
+                        miss1, jnp.full((1, lw), -1.0),
+                        zero3, list(zero3), list(zero3),
+                        jnp.zeros((1, lw)), jnp.full((1, lw), 1.0e9),
                     )
-                    any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
-                    res = jax.lax.cond(
-                        any_hit,
-                        lambda lo=tile_base + c * TRI_TILE: tri_block(
-                            lo, TRI_TILE
-                        ),
-                        lambda: skip_val,
-                    )
-                    better = res[0] < d_t  # strictly closer: Morton-order ties
-                    d_t = jnp.where(better, res[0], d_t)
-                    i_t = jnp.where(better, res[1], i_t)
-                    trin = [jnp.where(better, res[2][k], trin[k]) for k in range(3)]
-                    tric = [jnp.where(better, res[3][k], tric[k]) for k in range(3)]
-                    trie = [jnp.where(better, res[4][k], trie[k]) for k in range(3)]
-                    trirt = jnp.where(better, res[5], trirt)
-                    triord = jnp.where(better, res[6], triord)
+                    for c in range(n_tiles):
+                        bound = jnp.minimum(st[0], d_s_j)  # closest hit so far
+                        cand = tl_poss[c, ls : ls + CW][None, :] & (
+                            t_en[c, ls : ls + CW][None, :] < bound
+                        )
+                        any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
+                        # merge OUTSIDE the cond (a cond returning the whole
+                        # merged state measured ~5% slower than one returning
+                        # just the tile result)
+                        res = jax.lax.cond(
+                            any_hit,
+                            lambda lo=tile_base + c * TRI_TILE, rj=rays_j,
+                                   ls=ls: tri_block(
+                                lo, TRI_TILE, rays=rj,
+                                lane=(ls, CW if CW < B else None),
+                            ),
+                            lambda: skip_val,
+                        )
+                        st = merge_closer(st, res)
+                    chunk_states.append(st)
+
+                if CW < B:
+                    def cat(parts):
+                        return jnp.concatenate(parts, axis=1)
+
+                    d_t = cat([c_[0] for c_ in chunk_states])
+                    i_t = cat([c_[1] for c_ in chunk_states])
+                    trin = [cat([c_[2][k] for c_ in chunk_states]) for k in range(3)]
+                    tric = [cat([c_[3][k] for c_ in chunk_states]) for k in range(3)]
+                    trie = [cat([c_[4][k] for c_ in chunk_states]) for k in range(3)]
+                    trirt = cat([c_[5] for c_ in chunk_states])
+                    triord = cat([c_[6] for c_ in chunk_states])
+                else:
+                    (d_t, i_t, trin, tric, trie, trirt, triord) = chunk_states[0]
 
             def read_s(tab, k):  # [1,B]
                 return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
