@@ -120,6 +120,8 @@ def _dispatch_to_daemon(args) -> int:
             "backend": args.backend,
             "samples_per_pass": args.samples_per_pass,
             "out_dir": args.out_dir,
+            "checkpoint": args.checkpoint,
+            "checkpoint_every": args.checkpoint_every,
             "validate": not args.no_validate,
         },
         socket_path=args.socket or server.DEFAULT_SOCKET,

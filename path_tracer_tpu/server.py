@@ -8,7 +8,8 @@ renders the 1000-spp headline frame in ~2.6 s. The daemon keeps one
 process (and its compiled kernels) resident; clients submit jobs and
 stream progress over a line-delimited JSON protocol:
 
-    client → {"scene": "cornell", "spp": 100, "res_y": 300, ...}\n
+    client → {"scene": "cornell", "spp": 100, "res_y": 300,
+              "checkpoint": "ck.npz", ...}\n
     server → {"progress": 0.25}\n ...
     server → {"done": true, "ppm_path": ..., "duration": ...,
               "msamples_per_sec": ..., "mrays_per_sec": ...}\n
@@ -105,6 +106,8 @@ def _render_job(job: dict, send, scene_dir: str, mesh_dir: str,
         progress=lambda u: send({"progress": u.progress}),
         progress_snapshots=False,
         out_dir=job.get("out_dir", out_dir),
+        checkpoint_path=job.get("checkpoint"),
+        checkpoint_every=int(job.get("checkpoint_every", 8)),
         verbose=False,
     )
     s = done.stats

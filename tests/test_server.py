@@ -52,3 +52,24 @@ def test_daemon_running_and_refused():
     assert not server.daemon_running("/tmp/definitely-not-a-socket")
     with pytest.raises(ConnectionError):
         server.submit({}, socket_path="/tmp/definitely-not-a-socket")
+
+
+def test_daemon_checkpointed_job(daemon, tmp_path):
+    ck = str(tmp_path / "job.ck.npz")
+    seen_midrender = []
+
+    def watch(p):
+        # with checkpoint_every=1 the file must exist between passes —
+        # proving the field is passed through, not silently dropped
+        if 0.2 < p < 1.0:
+            seen_midrender.append(os.path.exists(ck))
+
+    reply = server.submit(
+        {"scene": "two-spheres", "spp": 64, "res_y": 24,
+         "checkpoint": ck, "checkpoint_every": 1, "samples_per_pass": 4},
+        socket_path=daemon, progress=watch,
+    )
+    assert reply["done"]
+    assert any(seen_midrender), "checkpoint never materialized mid-render"
+    # completed renders clean up their checkpoint
+    assert not os.path.exists(ck)
