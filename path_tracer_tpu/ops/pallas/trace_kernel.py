@@ -17,8 +17,8 @@ of the integrator's counter-based threefry.
 
 Semantics match ops.intersect + ops.bsdf + render.integrator exactly
 (same epsilons, reverse-scan tie-break via packed order, bounding-sphere
-pre-test, prev-triangle exclusion, RR constants) — validated statistically
-against the XLA integrator in tests/test_pallas.py.
+pre-test, prev-triangle exclusion, RR constants) — validated LANE-EXACTLY
+against the XLA integrator under injected uniforms in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -123,9 +123,9 @@ def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
 
     Scenes with many triangles additionally get Morton-ordered culling tiles
     (the TPU-native BVH analog, survey §7 phase 5): triangles are sorted by
-    centroid Morton code and grouped into TRI_TILE-sized tiles with bounding
-    spheres; the kernel tests each tile's bound against the whole ray block
-    and skips the tile's Möller–Trumbore work when NO lane can hit it —
+    centroid Morton code and grouped into TRI_TILE-sized tiles with AABBs;
+    the kernel slab-tests each tile against the ray block's current best
+    hits and skips the tile's Möller–Trumbore work when NO lane can hit it —
     block-level divergence is a scalar branch on TPU, so coherent blocks
     skip most of the scene. (Tie-breaks then follow Morton order rather
     than the reference's object order — distance ties are measure-zero.)"""
@@ -628,21 +628,23 @@ def _make_kernel(
                 for j in range(B // CW):
                     ls = j * CW
 
-                    def sl(x):
+                    # NB: pick a name that nothing below reuses — the last
+                    # iteration's closure outlives this loop in function scope
+                    def lslice(x, ls=ls):
                         return x[:, ls : ls + CW]
 
                     st = (
-                        sl(base_res[0]), sl(base_res[1]),
-                        [sl(v) for v in base_res[2]],
-                        [sl(v) for v in base_res[3]],
-                        [sl(v) for v in base_res[4]],
-                        sl(base_res[5]), sl(base_res[6]),
+                        lslice(base_res[0]), lslice(base_res[1]),
+                        [lslice(v) for v in base_res[2]],
+                        [lslice(v) for v in base_res[3]],
+                        [lslice(v) for v in base_res[4]],
+                        lslice(base_res[5]), lslice(base_res[6]),
                     ) if CW < B else base_res
                     rays_j = (
-                        [sl(x) for x in o], [sl(x) for x in d],
-                        [sl(x) for x in m], sl(prev),
+                        [lslice(x) for x in o], [lslice(x) for x in d],
+                        [lslice(x) for x in m], lslice(prev),
                     ) if CW < B else None
-                    d_s_j = sl(d_s) if CW < B else d_s
+                    d_s_j = lslice(d_s) if CW < B else d_s
 
                     lw = CW if CW < B else B
                     miss1 = jnp.full((1, lw), BIG)
