@@ -116,7 +116,7 @@ TILE_THRESHOLD = 192  # tile + cull only above this many triangles
 CULL_CHUNK = 0
 
 
-def kernel_scene_buffers(packed: ScenePacked, pad: int = 8) -> dict:
+def kernel_scene_buffers(packed: ScenePacked) -> dict:
     """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
     sublane multiples using guaranteed-miss entries; plus the [M,T] 0/1 gate
     matrix mapping mesh bounding spheres to their triangles.
