@@ -303,6 +303,21 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
         bufs["bnd_center"] = prep(sc.bnd_center, M, 1e30)
         bufs["bnd_rad2"] = prep(np.asarray(sc.bnd_radius) ** 2, M)
         bufs["gate"] = gate
+
+    # scene AABB for inter-bounce ray-sort key quantization (not a kernel
+    # table — consumed host-side by trace_pallas_sorted; `_scene_keys`
+    # whitelists what reaches the kernel, so extra entries are harmless)
+    pts = [tri_v[tri_v[:, 0, 0] < 1e29].reshape(-1, 3)]
+    srad = np.asarray(sc.sph_radius, np.float32)
+    scen = np.asarray(sc.sph_center, np.float32)
+    real = srad > 0.0
+    if real.any():
+        pts += [scen[real] - srad[real, None], scen[real] + srad[real, None]]
+    pts = np.concatenate(pts) if pts[0].size or len(pts) > 1 else np.zeros((1, 3))
+    lo = pts.min(axis=0).astype(np.float32)
+    span = np.maximum(pts.max(axis=0) - lo, 1e-6).astype(np.float32)
+    bufs["aabb_lo"] = lo.reshape(3, 1)
+    bufs["aabb_inv_span"] = (1.0 / span).reshape(3, 1)
     return {k: jnp.asarray(v) for k, v in bufs.items()}
 
 
@@ -772,13 +787,28 @@ def _make_kernel(
             thr = [thr_new[k] * am for k in range(3)]
             return (o, d, thr, acc, am, new_prev, counts)
 
-        carry = (o, d, thr, acc, alive_f, prev, counts)
-        if n_steps <= 4:
-            # python-unroll: avoids scf.for entirely (Mosaic legalization)
-            for s in range(n_steps):
-                carry = body(jnp.int32(s), carry)
-        else:
-            carry = jax.lax.fori_loop(0, n_steps, body, carry)
+        def run_steps(carry):
+            if n_steps <= 4:
+                # python-unroll: avoids scf.for entirely (Mosaic legalization)
+                for s in range(n_steps):
+                    carry = body(jnp.int32(s), carry)
+            else:
+                carry = jax.lax.fori_loop(0, n_steps, body, carry)
+            return carry
+
+        # all-dead block skip: when rays are sorted dead-last between calls
+        # (trace_pallas_sorted), whole trailing blocks go dead — one scalar
+        # branch skips their entire bounce loop (the poor lane's compaction:
+        # no gather/scatter, just the sort the caller already did).
+        live = alive_f
+        while live.shape[-1] > 128:  # Mosaic: reduce at most (8,128) at once
+            h = live.shape[-1] // 2
+            live = live[..., :h] + live[..., h:]
+        any_alive = jnp.sum(live) > 0.0
+        carry = jax.lax.cond(
+            any_alive, run_steps, lambda c: c,
+            (o, d, thr, acc, alive_f, prev, counts),
+        )
         o, d, thr, acc, alive_f, prev, counts = carry
         for k in range(3):
             o_out[k, :] = o[k][0, :]
@@ -1113,3 +1143,165 @@ def trace_pallas(
         total = total + jnp.sum(counts)
     acc = state[3]
     return acc.T, total
+
+
+def _spread6(v):
+    """Interleave the low 6 bits of v into every 3rd bit (Morton spread;
+    the 10-bit magic numbers — computed in u32, result < 2^27 so the cast
+    back to i32 is lossless)."""
+    v = v.astype(jnp.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0x30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x9249249)
+    return v.astype(jnp.int32)
+
+
+_DEAD_KEY = np.int32(1 << 30)
+
+
+def ray_sort_keys(o, d, alive, lo, inv_span, dir_major: bool = False):
+    """i32 sort key per ray: 18-bit Morton cell of the origin (64³ grid over
+    the scene AABB) + 3-bit direction octant; dead rays sort last (so the
+    kernel's all-dead block skip fires on whole trailing blocks).
+
+    o, d: [3,n]; alive: [1,n]; lo, inv_span: [3,1]. dir_major puts the
+    octant in the high bits (group by direction first, then locality)."""
+    q = jnp.clip((o - lo) * inv_span * 64.0, 0.0, 63.0).astype(jnp.int32)
+    morton = (
+        (_spread6(q[0]) << 2) | (_spread6(q[1]) << 1) | _spread6(q[2])
+    )
+    octant = (
+        jnp.where(d[0] < 0.0, 4, 0)
+        + jnp.where(d[1] < 0.0, 2, 0)
+        + jnp.where(d[2] < 0.0, 1, 0)
+    )
+    key = (
+        (octant << 18) | morton if dir_major else (morton << 3) | octant
+    )
+    return jnp.where(alive[0] > 0.0, key, _DEAD_KEY)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_depth", "rr_start_depth", "block", "sort_every", "dir_major"
+    ),
+)
+def trace_pallas_sorted(
+    o,
+    d,
+    kscene: dict,
+    seed,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 1024,
+    sort_every: int = 1,
+    dir_major: bool = False,
+    uniforms=None,
+):
+    """Stepped wavefront trace with inter-bounce ray sorting — the coherence
+    path for triangle-heavy scenes.
+
+    The regenerative kernels mix path depths per lane, so a block almost
+    never agrees on which geometry tiles it can hit and the block-level
+    Morton-tile culling never fires (P(all 1024 lanes miss) ≈ 0 for
+    incoherent rays). Here rays round-trip through HBM every `sort_every`
+    bounces anyway (the stepped kernel), so between calls we re-sort the
+    whole wavefront by (origin cell, direction octant): blocks become
+    spatially coherent, tiles cull, and dead rays cluster into trailing
+    blocks that the kernel skips entirely (compaction without gathers).
+
+    Per-ray estimates are a pure permutation of the unsorted kernel's (the
+    RNG is positional, so *which* uniforms a ray draws changes — equal in
+    distribution, not bitwise; with injected `uniforms` [max_depth*4, N]
+    rows ride the permutation and results ARE lane-exact vs trace_pallas).
+
+    Returns (radiance [N,3] in the CALLER's ray order, rays_traced)."""
+    n = o.shape[0]
+    if n % block:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+    S = kscene["sph_rad2"].shape[1]
+    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
+    T = kscene["tri_na"].shape[1]
+    steps = min(sort_every, max_depth)
+    n_calls = -(-max_depth // steps)
+    fixed = uniforms is not None
+    pretest = "gate" in kscene
+    n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
+    tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
+    scene_keys = _scene_keys(kscene)
+    kernel = _make_kernel(
+        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest,
+        n_tiles=n_tiles, tile_base=tile_base,
+    )
+
+    def rspec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    state_specs = [rspec(3), rspec(3), rspec(3), rspec(3), rspec(1), rspec(1)]
+    uni_specs = [rspec(steps * 4)] if fixed else []
+    call = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *state_specs,
+            *uni_specs,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in scene_keys],
+        ],
+        out_specs=(*state_specs, rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((3, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5},
+    )
+
+    lo = kscene["aabb_lo"]
+    inv_span = kscene["aabb_inv_span"]
+    state = (
+        o.T,
+        d.T,
+        jnp.ones((3, n), jnp.float32),
+        jnp.zeros((3, n), jnp.float32),
+        jnp.ones((1, n), jnp.float32),
+        jnp.full((1, n), -1.0, jnp.float32),
+    )
+    # ray_id rides the sort so radiance lands back in caller order; ids fit
+    # f32 exactly below 2^24 lanes (16.7M — far above any dispatch size)
+    ray_id = jnp.arange(n, dtype=jnp.int32)
+    uni = uniforms
+    tables = [kscene[k] for k in scene_keys]
+    seed32 = jnp.asarray(seed, jnp.int32)
+    total = jnp.zeros((), jnp.float32)
+    for c in range(n_calls):
+        if c > 0:
+            keys = ray_sort_keys(
+                state[0], state[1], state[4], lo, inv_span, dir_major
+            )
+            perm = jnp.argsort(keys)
+            # one [n, rows] row-gather moves all state at once (row gathers
+            # are the TPU-efficient shape; per-array lane gathers are not)
+            mat = jnp.concatenate(state, axis=0)  # [14, n]
+            mat = mat.T[perm].T
+            state = (
+                mat[0:3], mat[3:6], mat[6:9], mat[9:12], mat[12:13], mat[13:14]
+            )
+            ray_id = ray_id[perm]
+            if fixed:
+                uni = uni[:, perm]
+        depth0 = c * steps
+        smem = jnp.stack([seed32, jnp.int32(depth0)]).reshape(1, 2)
+        uslice = [uni[depth0 * 4 : (depth0 + steps) * 4]] if fixed else []
+        *state, counts = call(smem, *state, *uslice, *tables)
+        total = total + jnp.sum(counts)
+    acc = state[3]
+    rad = jnp.zeros((n, 3), jnp.float32).at[ray_id].set(acc.T)
+    return rad, total

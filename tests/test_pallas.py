@@ -83,6 +83,42 @@ def test_kernel_stepped_equals_megakernel(all_scenes):
     assert float(c12) == float(c3)
 
 
+@pytest.mark.parametrize("sid", ["mesh", "cornell"])
+def test_sorted_trace_is_a_permutation(all_scenes, sid):
+    """trace_pallas_sorted re-sorts the wavefront between bounces; with
+    injected uniforms (which ride the permutation) every per-ray estimate
+    must be bitwise identical to the unsorted kernel's, in caller order."""
+    scene = all_scenes[sid]
+    packed = pt.pack_scene(scene)
+    kscene = tk.kernel_scene_buffers(packed)
+    n, max_depth = 1024, 6
+    g = np.random.default_rng(5)
+    o = jnp.asarray(np.tile(np.array([0.0, -0.2, 7.0], np.float32), (n, 1)))
+    d = g.normal(0, 1, (n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    U = jnp.stack(
+        [prng.bounce_uniforms(key, s, (n,), 4) for s in range(max_depth)]
+    )
+    u_kernel = U.transpose(0, 2, 1).reshape(max_depth * 4, n)
+    with pltpu.force_tpu_interpret_mode():
+        r0, c0 = tk.trace_pallas.__wrapped__(
+            o, d, kscene, 0, block=256, uniforms=u_kernel,
+            max_depth=max_depth, steps_per_call=1,
+        )
+        rs, cs = tk.trace_pallas_sorted.__wrapped__(
+            o, d, kscene, 0, block=256, uniforms=u_kernel,
+            max_depth=max_depth, sort_every=1,
+        )
+        rs2, cs2 = tk.trace_pallas_sorted.__wrapped__(
+            o, d, kscene, 0, block=256, uniforms=u_kernel,
+            max_depth=max_depth, sort_every=2, dir_major=True,
+        )
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(rs2))
+    assert float(c0) == float(cs) == float(cs2)
+
+
 def test_kernel_scene_buffers_shapes(all_scenes):
     packed = pt.pack_scene(all_scenes["mesh"])
     ks = tk.kernel_scene_buffers(packed)
