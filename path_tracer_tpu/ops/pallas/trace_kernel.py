@@ -41,6 +41,9 @@ BIG = 3.0e38  # ~f32 max: "miss" sentinel (inf-free math inside the kernel)
 
 DEFAULT_BLOCK = 512
 
+# regen fori loop: steps per all-done scalar sync (see regen_loop.steps_n)
+SYNC_EVERY = 1
+
 
 
 def detect_quad_pairs(packed: ScenePacked):
@@ -834,7 +837,7 @@ def _scalar_any_left(done, quota):
 
 
 def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
-               rr_start_depth, loop="fori"):
+               rr_start_depth, loop="fori", sync_every=None):
     """Shape-agnostic regenerative main loop, shared by the static-scene
     (trace_v2, (8,L) lanes) and prim-major ((1,B) lanes) kernels: each lane
     owns one pixel, traces `quota` full samples with in-kernel raygen
@@ -895,49 +898,63 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         "counts": zero,
     }
 
-    def step(_, st):
-        all_done = _scalar_any_left(st["done"], quota) == 0.0
+    def active(st):
+        st = dict(st)
+        u = draw(6)
 
-        def active(st):
-            st = dict(st)
-            u = draw(6)
+        need = (st["alive"] <= 0.0) & (st["done"] < quota)
+        s_global = sample_base + st["done"]
+        d_new = raygen(s_global, u[4], u[5])
+        for k, lc in enumerate((lcx, lcy, lcz)):
+            st["o"][k] = jnp.where(need, lc, st["o"][k])
+            st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
+            st["thr"][k] = jnp.where(need, 1.0, st["thr"][k])
+        st["prev"] = jnp.where(need, -1.0, st["prev"])
+        st["depth"] = jnp.where(need, 0.0, st["depth"])
+        st["alive"] = jnp.where(need, 1.0, st["alive"])
 
-            need = (st["alive"] <= 0.0) & (st["done"] < quota)
-            s_global = sample_base + st["done"]
-            d_new = raygen(s_global, u[4], u[5])
-            for k, lc in enumerate((lcx, lcy, lcz)):
-                st["o"][k] = jnp.where(need, lc, st["o"][k])
-                st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
-                st["thr"][k] = jnp.where(need, 1.0, st["thr"][k])
-            st["prev"] = jnp.where(need, -1.0, st["prev"])
-            st["depth"] = jnp.where(need, 0.0, st["depth"])
-            st["alive"] = jnp.where(need, 1.0, st["alive"])
+        live = st["alive"] > 0.0
+        st["counts"] = st["counts"] + st["alive"]
 
-            live = st["alive"] > 0.0
-            st["counts"] = st["counts"] + st["alive"]
+        found, point, nrm, color, emis, rtype, new_prev = isect(
+            st["o"], st["d"], st["prev"], live
+        )
+        new_depth = st["depth"] + 1.0
+        acc, thr_new, d2, alive_new = shade_phase(
+            st["d"], nrm, color, emis, rtype, found,
+            st["thr"], st["acc"], u[:4],
+            new_depth, max_depth, rr_start_depth,
+        )
+        am = alive_new.astype(jnp.float32)
+        ended = live & ~alive_new
+        st["done"] = st["done"] + ended.astype(jnp.float32)
+        st["acc"] = acc
+        st["o"] = [jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)]
+        st["d"] = [jnp.where(alive_new, d2[k], st["d"][k]) for k in range(3)]
+        st["thr"] = [thr_new[k] * am for k in range(3)]
+        st["prev"] = jnp.where(alive_new, new_prev, -1.0)
+        st["depth"] = new_depth
+        st["alive"] = am
+        return st
 
-            found, point, nrm, color, emis, rtype, new_prev = isect(
-                st["o"], st["d"], st["prev"], live
-            )
-            new_depth = st["depth"] + 1.0
-            acc, thr_new, d2, alive_new = shade_phase(
-                st["d"], nrm, color, emis, rtype, found,
-                st["thr"], st["acc"], u[:4],
-                new_depth, max_depth, rr_start_depth,
-            )
-            am = alive_new.astype(jnp.float32)
-            ended = live & ~alive_new
-            st["done"] = st["done"] + ended.astype(jnp.float32)
-            st["acc"] = acc
-            st["o"] = [jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)]
-            st["d"] = [jnp.where(alive_new, d2[k], st["d"][k]) for k in range(3)]
-            st["thr"] = [thr_new[k] * am for k in range(3)]
-            st["prev"] = jnp.where(alive_new, new_prev, -1.0)
-            st["depth"] = new_depth
-            st["alive"] = am
-            return st
+    # `active` is self-gating per lane (need/quota/alive masks), so applying
+    # it several times under ONE all-done cond is semantically identical to
+    # cond-per-step — it just checks the scalar less often. The scalar
+    # reduce+branch costs ~5-10% of a step on small scenes; syncing every
+    # SYNC_EVERY steps amortizes it at the price of up to SYNC_EVERY-1
+    # wasted (all-done) steps per block at the very end of the quota.
+    def steps_n(n_inner):
+        def stepn(_, st):
+            all_done = _scalar_any_left(st["done"], quota) == 0.0
 
-        return jax.lax.cond(all_done, lambda s: s, active, st)
+            def act_n(st):
+                for _ in range(n_inner):
+                    st = active(st)
+                return st
+
+            return jax.lax.cond(all_done, lambda s: s, act_n, st)
+
+        return stepn
 
     if loop == "while":
         # exit the moment every lane finished its quota. Faster when mean
@@ -950,19 +967,22 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
             any_left = _scalar_any_left(st["done"], quota) > 0.0
             return (i < quota * max_depth) & any_left
 
-        # 4 steps per while iteration: amortizes the scalar all-done sync
-        # (the per-step cond inside `step` makes overshoot a no-op)
+        # 4 steps per while iteration under ONE all-done cond: amortizes
+        # both scalar syncs (the while condition and the cond's reduce);
+        # overshoot past all-done is a no-op (`active` is self-gating)
         UNROLL = 4
+        step4 = steps_n(UNROLL)
 
         def wstep(carry):
             i, st = carry
-            for _ in range(UNROLL):
-                st = step(i, st)
-            return (i + UNROLL, st)
+            return (i + UNROLL, step4(i, st))
 
         _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
     else:
-        st = jax.lax.fori_loop(0, quota * max_depth, step, state)
+        se = sync_every if sync_every is not None else SYNC_EVERY
+        se = max(1, min(se, quota * max_depth))
+        n_iters = -(-quota * max_depth // se)
+        st = jax.lax.fori_loop(0, n_iters, steps_n(se), state)
     return st["acc"], st["counts"]
 
 

@@ -45,6 +45,15 @@ SUB = 8  # sublane rows per ray block
 
 _LOOP_OVERRIDE: str | None = None  # force regen loop style (benchmarking)
 
+# One all-done scalar sync per N bounce steps in the v3 fori loop. On static
+# small scenes the per-step reduce+cond costs ~1/3 of the whole step:
+# 2924 → 3387/3767/3958/4058/4098 Mray/s at sync 1/2/4/8/16/32 on cornell
+# 1024x768 (2026-08-16). 16 is the knee; 32 buys ~1% for 9x the Mosaic
+# compile time (the loop body unrolls N-fold — which is also why
+# tests/conftest.py lowers this to 2 for the Pallas TPU interpreter, where
+# a 16-wide body is pathologically slow to lower).
+SYNC_EVERY_V3 = 16
+
 # static scene registry: jit can't trace python constants through arguments,
 # so prepared scenes register here under a content key (passed statically).
 _SCENES: dict[str, tuple] = {}
@@ -468,6 +477,7 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
         acc, counts = regen_loop(
             seed_ref[0, 1].astype(jnp.float32), pix_ref[0], isect, draw,
             cam_consts, quota, max_depth, rr_start_depth, loop=loop,
+            sync_every=SYNC_EVERY_V3,
         )
         for k in range(3):
             rad_ref[k] = acc[k]

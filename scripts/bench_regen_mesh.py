@@ -25,6 +25,7 @@ def main():
     tiles = bool(int(sys.argv[1])) if len(sys.argv) > 1 else True
     block = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     quota = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    tk.SYNC_EVERY = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     if not tiles:
         tk.TILE_THRESHOLD = 10**9
@@ -50,7 +51,7 @@ def main():
     rad, rays = run(0)
     r = float(np.asarray(rays))
     print(f"compile+run: {time.perf_counter()-t0:.1f}s rays={r:.0f} "
-          f"(tiles={tiles}, block={block}, quota={quota})")
+          f"(tiles={tiles}, block={block}, quota={quota}, sync={tk.SYNC_EVERY})")
     times = []
     for rep in range(4):
         t0 = time.perf_counter()
@@ -61,7 +62,7 @@ def main():
         times.append(dt)
         print(f"rep {rep}: {dt*1e3:.1f} ms  {r/dt/1e6:.1f} Mray/s")
     best2 = sorted(times)[1]
-    print(f"RESULT tiles={tiles} block={block} quota={quota}: "
+    print(f"RESULT tiles={tiles} block={block} quota={quota} sync={tk.SYNC_EVERY}: "
           f"{best2*1e3:.1f} ms  {r/best2/1e6:.1f} Mray/s")
 
 

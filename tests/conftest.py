@@ -26,6 +26,16 @@ jax.config.update("jax_num_cpu_devices", 8)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The production 16-step sync amortization in the v3 regen loop unrolls the
+# fori body 16-fold, which the Pallas TPU interpreter lowers pathologically
+# slowly (>10 min, ~16 GB for one small kernel). 2 still exercises the
+# amortized multi-step path (steps_n) while keeping the suite fast; the
+# semantics are sync-count-invariant (`active` is self-gating), which
+# test_pallas lane-exactness checks rely on.
+from path_tracer_tpu.ops.pallas import trace_v2 as _tv2  # noqa: E402
+
+_tv2.SYNC_EVERY_V3 = 2
+
 
 @pytest.fixture(scope="session")
 def scenes_dir():
