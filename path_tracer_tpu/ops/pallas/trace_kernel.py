@@ -44,6 +44,12 @@ DEFAULT_BLOCK = 512
 # regen fori loop: steps per all-done scalar sync (see regen_loop.steps_n)
 SYNC_EVERY = 1
 
+# regen while loop: steps per exit check (one while-cond + one cond reduce).
+# Swept on single-sphere 256x256 (2026-08-17): 4/6/8/12/16 ->
+# 2352/2714/3003/2952/2143 Mray/s — 8 is the peak; past it the wider body
+# loses more (spills/overshoot) than the rarer scalar sync saves.
+WHILE_UNROLL = 8
+
 
 
 def detect_quad_pairs(packed: ScenePacked):
@@ -967,15 +973,17 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
             any_left = _scalar_any_left(st["done"], quota) > 0.0
             return (i < quota * max_depth) & any_left
 
-        # 4 steps per while iteration under ONE all-done cond: amortizes
+        # N steps per while iteration under ONE all-done cond: amortizes
         # both scalar syncs (the while condition and the cond's reduce);
-        # overshoot past all-done is a no-op (`active` is self-gating)
-        UNROLL = 4
-        step4 = steps_n(UNROLL)
+        # overshoot past all-done is a no-op (`active` is self-gating).
+        # Open scenes die in 1-2 bounces so the ≤N-1 overshoot steps at the
+        # quota tail are negligible next to the sync savings.
+        unroll = max(1, min(WHILE_UNROLL, quota * max_depth))
+        stepu = steps_n(unroll)
 
         def wstep(carry):
             i, st = carry
-            return (i + UNROLL, step4(i, st))
+            return (i + unroll, stepu(i, st))
 
         _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
     else:

@@ -1,6 +1,10 @@
-"""Cornell headline vs trace_v2.SYNC_EVERY_V3 (all-done sync amortization).
+"""Open-scene throughput vs trace_kernel.WHILE_UNROLL (exit-check cadence).
 
-Usage: python scripts/bench_sync_every.py [sync_every] [spp]
+The while-style regen loop (picked for scenes with <= 8 prims, where most
+paths die in 1-2 bounces) checks the all-done scalar every WHILE_UNROLL
+steps. Sweeps the knob on single-sphere 256x256.
+
+Usage: python scripts/bench_while_unroll.py [unroll] [spp] [scene]
 """
 
 import os
@@ -15,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import path_tracer_tpu as pt
-import path_tracer_tpu.ops.pallas.trace_v2 as tv2
+import path_tracer_tpu.ops.pallas.trace_kernel as tk
 from path_tracer_tpu.ops import rng
 from path_tracer_tpu.render import integrator
 from path_tracer_tpu.render.pipeline import (
@@ -26,11 +30,12 @@ from path_tracer_tpu.utils.config import RenderConfig, Resolution
 
 
 def main():
-    tv2.SYNC_EVERY_V3 = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    tk.WHILE_UNROLL = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    sid = sys.argv[3] if len(sys.argv) > 3 else "single-sphere"
 
-    scene = pt.load_scene("cornell", "scenes")
-    res = Resolution(768, 1024)
+    scene = pt.load_scene(sid, "scenes")
+    res = Resolution(256, 256)
     cfg = RenderConfig(samples_per_pixel=spp, resolution=res)
     bufs, mode = prepare_scene_and_mode(scene, "auto", res)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
@@ -56,8 +61,9 @@ def main():
     t0 = time.perf_counter()
     accum, rays = run()
     r = float(np.asarray(rays))
+    nsam = n_passes * k * npix
     print(f"compile+run: {time.perf_counter()-t0:.1f}s "
-          f"(SYNC_EVERY={tv2.SYNC_EVERY_V3}, spp={spp})")
+          f"(WHILE_UNROLL={tk.WHILE_UNROLL}, scene={sid}, spp={spp})")
     times = []
     for rep in range(5):
         t0 = time.perf_counter()
@@ -66,10 +72,12 @@ def main():
         _ = np.asarray(accum[:8])
         dt = time.perf_counter() - t0
         times.append(dt)
-        print(f"rep {rep}: {dt*1e3:.1f} ms  {r/dt/1e6:.1f} Mray/s")
+        print(f"rep {rep}: {dt*1e3:.1f} ms  {r/dt/1e6:.1f} Mray/s  "
+              f"{nsam/dt/1e6:.1f} Msam/s")
     best2 = sorted(times)[1]
-    print(f"RESULT SYNC_EVERY={tv2.SYNC_EVERY_V3}: {best2*1e3:.1f} ms  "
-          f"{r/best2/1e6:.1f} Mray/s")
+    print(f"RESULT WHILE_UNROLL={tk.WHILE_UNROLL} scene={sid}: "
+          f"{best2*1e3:.1f} ms  {r/best2/1e6:.1f} Mray/s  "
+          f"{nsam/best2/1e6:.1f} Msam/s")
 
 
 if __name__ == "__main__":

@@ -32,9 +32,11 @@ import pytest  # noqa: E402
 # amortized multi-step path (steps_n) while keeping the suite fast; the
 # semantics are sync-count-invariant (`active` is self-gating), which
 # test_pallas lane-exactness checks rely on.
+from path_tracer_tpu.ops.pallas import trace_kernel as _tk  # noqa: E402
 from path_tracer_tpu.ops.pallas import trace_v2 as _tv2  # noqa: E402
 
 _tv2.SYNC_EVERY_V3 = 2
+_tk.WHILE_UNROLL = 2
 
 
 @pytest.fixture(scope="session")
