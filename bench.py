@@ -74,9 +74,10 @@ def main():
         for i in range(n_passes):
             accum, rays = run_pass(accum, i)
             rays_handles.append(rays)
-        # per-pass counts are numpy scalars; sum as Python ints (a numpy
-        # int32 reduction wraps past 2.1e9 rays)
-        total_rays = sum(int(np.asarray(r)) for r in rays_handles)
+        # one stacked fetch (a scalar fetch is a ~25 ms tunnel round-trip);
+        # sum as int64 (an int32 reduction wraps past 2.1e9 rays)
+        counts = np.asarray(jnp.stack(rays_handles))
+        total_rays = int(counts.astype(np.int64).sum())
         np.asarray(accum[:1])
         wall = min(wall, time.perf_counter() - t0)
     total_samples = n_passes * k * npix

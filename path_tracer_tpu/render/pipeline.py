@@ -360,13 +360,18 @@ def render(
 
     # ray counts are fetched lazily: an int() per pass would block the host
     # until the device finishes, serializing passes — keeping them as device
-    # handles lets jax queue the next pass while the previous one runs
+    # handles lets jax queue the next pass while the previous one runs. The
+    # drain stacks them into ONE device array first: each scalar fetch is a
+    # full host<->device round-trip (~25 ms through a remote-TPU tunnel),
+    # and per-pass counts stay exact (f32 holds integers to 2^24; only the
+    # host-side Python-int sum crosses it)
     ray_handles: list = []
 
     def drain_rays():
         nonlocal ray_handles
-        for r in ray_handles:
-            stats.num_rays += int(r)
+        if ray_handles:
+            counts = np.asarray(jnp.stack(ray_handles))
+            stats.num_rays += int(counts.astype(np.int64).sum())
         ray_handles = []
 
     for pass_idx, k_pass in schedule:
