@@ -42,17 +42,29 @@ class Image:
         return self.pixels.reshape(h, w, 3)[::-1, ::-1, :]
 
 
+def _encode_ascii_ints(v: np.ndarray) -> bytes:
+    """``b"%d %d ... "`` for a flat array of ints in [0, 999]: digit-scatter
+    into one preallocated byte buffer. ~50x faster than a Python join at
+    framebuffer sizes (a 1024x768 frame is 2.4M values), and byte-identical."""
+    v = v.astype(np.int32).ravel()
+    lens = np.where(v >= 100, 4, np.where(v >= 10, 3, 2))  # digits + space
+    starts = np.cumsum(lens) - lens
+    out = np.full(int(starts[-1] + lens[-1]) if v.size else 0, 32, np.uint8)
+    last = starts + lens - 2  # position of the ones digit
+    out[last] = 48 + v % 10
+    m = v >= 10
+    out[last[m] - 1] = 48 + (v[m] // 10) % 10
+    m = v >= 100
+    out[starts[m]] = 48 + v[m] // 100
+    return out.tobytes()
+
+
 def ppm_body(pixels: np.ndarray, reverse: bool = True) -> bytes:
     """Gamma-quantized ``r g b `` triplets (reverse index order by default)."""
-    from path_tracer_tpu.native import native_ppm_body
-
-    native = native_ppm_body(pixels, reverse)
-    if native is not None:
-        return native
     q = quantize_np(np.asarray(pixels, np.float32).reshape(-1, 3))
     if reverse:
         q = q[::-1]
-    return b"".join(b"%d %d %d " % (int(r), int(g), int(b)) for r, g, b in q)
+    return _encode_ascii_ints(q)
 
 
 def write_ppm(
