@@ -106,6 +106,31 @@ def test_ppm_roundtrip(tmp_path):
     np.testing.assert_array_equal(vals, quantize_np(pixels)[::-1])
 
 
+def test_ppm_body_digit_boundaries():
+    """The vectorized ASCII encoder is byte-identical to a naive %d join
+    across digit-count boundaries (1/2/3-digit values) and empty input."""
+    from path_tracer_tpu.ops.tonemap import quantize_np
+    from path_tracer_tpu.render.image import ppm_body
+
+    g = np.random.default_rng(7)
+    cases = [
+        np.zeros((0, 3), np.float32),
+        np.array([[0.0, 1.0, 0.5]], np.float32),
+        # quantize maps these across 0, single-, double-, triple-digit
+        np.array([[0.0, 1e-5, 0.0016], [0.02, 0.23, 1.0]], np.float32),
+        g.uniform(-0.2, 1.2, (999, 3)).astype(np.float32),
+    ]
+    for px in cases:
+        for reverse in (False, True):
+            q = quantize_np(px.reshape(-1, 3))
+            if reverse:
+                q = q[::-1]
+            expected = b"".join(
+                b"%d %d %d " % (int(r), int(g_), int(b)) for r, g_, b in q
+            )
+            assert ppm_body(px, reverse=reverse) == expected
+
+
 def test_ppm_header_format(tmp_path):
     img = Image.new(np.zeros((6, 3), np.float32), Resolution(2, 3))
     path = write_ppm(img, "sc", 7, 3.9, out_dir=str(tmp_path), make_symlink=False)
