@@ -325,5 +325,15 @@ if __name__ == "__main__":
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--scene-dir", default="scenes")
     p.add_argument("--mesh-dir", default="meshes")
+    p.add_argument(
+        "--cpu", action="store_true",
+        help="render on the CPU backend (hosts without an accelerator)",
+    )
     a = p.parse_args()
+    if a.cpu:
+        import jax
+
+        # env vars are not enough here: the platform can be re-pinned after
+        # import (see tests/conftest.py), so set it through jax.config
+        jax.config.update("jax_platforms", "cpu")
     serve(a.port, a.scene_dir, a.mesh_dir)
