@@ -19,14 +19,29 @@ Jobs run serially (the chip is single-tenant); a job failure is reported
 to its client and the daemon keeps serving (failure isolation). The
 client side (`submit`, used by cli.py) deliberately imports neither jax
 nor the framework — connecting costs milliseconds.
+
+Failure detection / elastic recovery (survey §5: the reference has none;
+preemptible TPU serving needs it): with ``isolate=True`` (the CLI
+default) jobs execute in a persistent *worker subprocess*. The front-end
+relays the worker's line-JSON stream to the client and watches for
+stalls — a remote-TPU tunnel can hang a device call indefinitely, which
+no in-process cooperative cancel can interrupt. If the worker emits
+nothing for ``stall_timeout`` seconds (default 900 — above the worst
+observed cold-compile), it is killed, the client gets an error, and the
+next job respawns a fresh worker whose kernels reload from the on-disk
+compile cache. Checkpointed jobs (``checkpoint=...``) resume where the
+killed render left off.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import socket
 import socketserver
+import subprocess
+import sys
 import threading
 
 DEFAULT_SOCKET = os.path.join(
@@ -141,9 +156,119 @@ def warm(specs: list[str], scene_dir: str, mesh_dir: str) -> None:
         print(f"warmed {spec}")
 
 
+def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
+    """Resident renderer child: one line-JSON job per stdin line, stream of
+    progress/result lines on stdout. Crashes and hangs are the front-end's
+    problem (that is the point — it can kill this process)."""
+    out = sys.stdout
+    sys.stdout = sys.stderr  # stray prints (warm banners) must not corrupt
+    # the protocol stream
+    if os.environ.get("PT_TPU_CPU"):
+        # JAX_PLATFORMS env can be re-pinned by site hooks after import;
+        # the config route sticks (tests run workers on the CPU backend)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache:
+            # CPU compiles also persist-cache; respawned workers then skip
+            # recompiling (the env var alone can be lost to site hooks).
+            # Small-shape CPU programs compile in <1 s each — below the
+            # default persist threshold — so cache everything.
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    def send(msg: dict):
+        out.write(json.dumps(msg) + "\n")
+        out.flush()
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            job = json.loads(line)
+            if "__warm__" in job:
+                warm(list(job["__warm__"]), scene_dir, mesh_dir)
+                send({"done": True})
+                continue
+            if job.get("__test_hang__"):  # stall-recovery test hook
+                threading.Event().wait()
+            if "__test_echo__" in job:  # watchdog test hook: no jax import
+                send({"progress": 0.5})
+                send({"done": True, "echo": job["__test_echo__"],
+                      "pid": os.getpid()})
+                continue
+            send(_render_job(job, send, scene_dir, mesh_dir, out_dir))
+        except Exception as e:
+            send({"error": f"{type(e).__name__}: {e}"})
+
+
+class _Worker:
+    """Persistent worker subprocess + line reader; respawned after failures."""
+
+    def __init__(self, scene_dir: str, mesh_dir: str, out_dir: str):
+        self._args = (scene_dir, mesh_dir, out_dir)
+        self._proc: subprocess.Popen | None = None
+        self._lines: queue.Queue | None = None
+
+    def _spawn(self):
+        scene_dir, mesh_dir, out_dir = self._args
+        self._proc = subprocess.Popen(
+            [sys.executable, "-m", "path_tracer_tpu.server", "--worker",
+             "--scene-dir", scene_dir, "--mesh-dir", mesh_dir,
+             "--out-dir", out_dir],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        )
+        self._lines = queue.Queue()
+
+        def reader(proc=self._proc, q=self._lines):
+            for ln in proc.stdout:
+                q.put(ln)
+            q.put(None)  # EOF → worker died
+
+        threading.Thread(target=reader, daemon=True).start()
+
+    def run_job(self, job: dict, send, stall_timeout: float) -> dict:
+        """Forward one job; relay its stream; kill on stall. Returns the
+        final reply (also already sent for done/progress relaying)."""
+        if self._proc is None or self._proc.poll() is not None:
+            self._spawn()
+        try:
+            self._proc.stdin.write(json.dumps(job) + "\n")
+            self._proc.stdin.flush()
+        except OSError:
+            self.kill()
+            return {"error": "worker pipe broken; respawning on next job"}
+        while True:
+            try:
+                ln = self._lines.get(timeout=stall_timeout)
+            except queue.Empty:
+                self.kill()
+                return {"error":
+                        f"worker made no progress for {stall_timeout:.0f}s "
+                        "(device stall?); killed — checkpointed jobs resume "
+                        "on retry"}
+            if ln is None:
+                self.kill()
+                return {"error": "worker died mid-job; respawning on next job"}
+            msg = json.loads(ln)
+            if "done" in msg or "error" in msg:
+                return msg
+            send(msg)  # progress relay
+
+    def kill(self):
+        if self._proc is not None and self._proc.poll() is None:
+            self._proc.kill()
+            self._proc.wait()
+        self._proc = None
+
+
 def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
           mesh_dir: str = "meshes", out_dir: str = "out",
-          ready: threading.Event | None = None) -> None:
+          ready: threading.Event | None = None, isolate: bool = False,
+          stall_timeout: float = 900.0, warm_specs: list[str] | None = None,
+          ) -> None:
     """Run the daemon until the process is killed (or a {"shutdown": true}
     job arrives — used by tests)."""
     os.makedirs(os.path.dirname(socket_path), exist_ok=True)
@@ -153,6 +278,9 @@ def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
     # compiled per (scene, resolution) — serialize at the accept level
     lock = threading.Lock()
     shutdown = threading.Event()
+    worker = _Worker(scene_dir, mesh_dir, out_dir) if isolate else None
+    if worker is not None and warm_specs:
+        worker.run_job({"__warm__": warm_specs}, lambda m: None, stall_timeout)
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
@@ -167,7 +295,12 @@ def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
                     shutdown.set()
                     return
                 with lock:
-                    send(_render_job(job, send, scene_dir, mesh_dir, out_dir))
+                    if worker is not None:
+                        t = float(job.pop("stall_timeout", stall_timeout))
+                        send(worker.run_job(job, send, t))
+                    else:
+                        send(_render_job(job, send, scene_dir, mesh_dir,
+                                         out_dir))
             except Exception as e:  # job isolation: report, keep serving
                 try:
                     send({"error": f"{type(e).__name__}: {e}"})
@@ -184,6 +317,8 @@ def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
         t.start()
         shutdown.wait()
         srv.shutdown()
+    if worker is not None:
+        worker.kill()
     if os.path.exists(socket_path):
         os.unlink(socket_path)
 
@@ -200,16 +335,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warm", default=None, metavar="SPECS",
                    help="comma-separated scene:res_y list to pre-compile "
                         "before serving (e.g. cornell:768,mesh:768)")
+    p.add_argument("--worker", action="store_true",
+                   help="internal: run as the resident renderer subprocess")
+    p.add_argument("--no-isolate", action="store_true",
+                   help="render in-process instead of a watchdogged worker "
+                        "subprocess (no stall recovery)")
+    p.add_argument("--stall-timeout", type=float, default=900.0,
+                   help="seconds without worker output before a job is "
+                        "declared stalled and the worker is killed")
     args = p.parse_args(argv)
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "pt_tpu_xla"),
     )
-    if args.warm:
-        warm(args.warm.split(","), args.scene_dir, args.mesh_dir)
+    if args.worker:
+        worker_loop(args.scene_dir, args.mesh_dir, args.out_dir)
+        return 0
+    warm_specs = args.warm.split(",") if args.warm else None
+    if warm_specs and args.no_isolate:
+        warm(warm_specs, args.scene_dir, args.mesh_dir)
     print(f"render daemon listening on {args.socket}")
     serve(args.socket, scene_dir=args.scene_dir, mesh_dir=args.mesh_dir,
-          out_dir=args.out_dir)
+          out_dir=args.out_dir, isolate=not args.no_isolate,
+          stall_timeout=args.stall_timeout,
+          warm_specs=None if args.no_isolate else warm_specs)
     return 0
 
 

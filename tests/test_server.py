@@ -73,3 +73,58 @@ def test_daemon_checkpointed_job(daemon, tmp_path):
     assert any(seen_midrender), "checkpoint never materialized mid-render"
     # completed renders clean up their checkpoint
     assert not os.path.exists(ck)
+
+
+@pytest.fixture
+def isolated_daemon(tmp_path, monkeypatch):
+    """Daemon with the worker-subprocess watchdog (isolate=True). The worker
+    is a fresh python that would pick the TPU backend via site hooks;
+    PT_TPU_CPU pins it to CPU (inherited through the environment)."""
+    monkeypatch.setenv("PT_TPU_CPU", "1")
+    # persistent CPU compile cache: the respawned recovery worker (and any
+    # suite re-run) skips the ~30-80 s cold XLA compile
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".jax_cache_cpu"),
+    )
+    sock = str(tmp_path / "di.sock")
+    ready = threading.Event()
+    t = threading.Thread(
+        target=server.serve,
+        args=(sock,),
+        kwargs=dict(scene_dir="scenes", mesh_dir="meshes",
+                    out_dir=str(tmp_path / "out"), ready=ready,
+                    isolate=True),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    yield sock
+    server.submit({"shutdown": True}, socket_path=sock)
+    t.join(10)
+
+
+def test_isolated_daemon_watchdog_lifecycle(isolated_daemon):
+    """Spawn/relay/stall-detect/kill/respawn of the worker subprocess,
+    via no-jax echo jobs (fresh-python jax startup is minutes-noisy under
+    a remote-TPU tunnel, so CI exercises the watchdog mechanics only; the
+    render-through-worker path shares _render_job with the in-process
+    daemon tests above)."""
+    seen = []
+    first = server.submit({"__test_echo__": "a"}, socket_path=isolated_daemon,
+                          progress=seen.append, timeout=120)
+    assert first.get("done") and first["echo"] == "a", first
+    assert seen == [0.5]  # progress relayed through the pipe
+
+    bad = server.submit(
+        {"__test_hang__": True, "stall_timeout": 3},
+        socket_path=isolated_daemon, timeout=60,
+    )
+    assert "error" in bad and "no progress" in bad["error"], bad
+
+    again = server.submit({"__test_echo__": "b"}, socket_path=isolated_daemon,
+                          timeout=120)
+    assert again.get("done") and again["echo"] == "b", again
+    # recovery spawned a NEW worker process
+    assert again["pid"] != first["pid"]
