@@ -99,7 +99,12 @@ def native_parse_off(path: str, scale: float) -> np.ndarray | None:
 
 
 def native_ppm_body(pixels: np.ndarray, reverse: bool) -> bytes | None:
-    """Encode gamma-quantized 'r g b ' ASCII triplets; None → use fallback."""
+    """Encode gamma-quantized 'r g b ' ASCII triplets; None → lib unbuilt.
+
+    Not on the production path anymore: render.image.ppm_body uses a
+    vectorized numpy digit-scatter that matches or beats this encoder with
+    no build step. Kept (with its byte-equality test) as an independent
+    reference implementation of the C14 output format."""
     lib = load_native()
     if lib is None:
         return None

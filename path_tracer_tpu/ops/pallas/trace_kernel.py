@@ -949,16 +949,20 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
     # reduce+branch costs ~5-10% of a step on small scenes; syncing every
     # SYNC_EVERY steps amortizes it at the price of up to SYNC_EVERY-1
     # wasted (all-done) steps per block at the very end of the quota.
+    def act_n(n_inner):
+        def run(st):
+            for _ in range(n_inner):
+                st = active(st)
+            return st
+
+        return run
+
     def steps_n(n_inner):
+        body = act_n(n_inner)
+
         def stepn(_, st):
             all_done = _scalar_any_left(st["done"], quota) == 0.0
-
-            def act_n(st):
-                for _ in range(n_inner):
-                    st = active(st)
-                return st
-
-            return jax.lax.cond(all_done, lambda s: s, act_n, st)
+            return jax.lax.cond(all_done, lambda s: s, body, st)
 
         return stepn
 
@@ -973,17 +977,19 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
             any_left = _scalar_any_left(st["done"], quota) > 0.0
             return (i < quota * max_depth) & any_left
 
-        # N steps per while iteration under ONE all-done cond: amortizes
-        # both scalar syncs (the while condition and the cond's reduce);
-        # overshoot past all-done is a no-op (`active` is self-gating).
-        # Open scenes die in 1-2 bounces so the ≤N-1 overshoot steps at the
-        # quota tail are negligible next to the sync savings.
+        # N bare steps per while iteration: the loop condition just
+        # established not-all-done over this exact state, so an inner
+        # all-done cond would always take the active branch — run the body
+        # directly and let the condition be the single scalar sync.
+        # Overshoot past all-done is a no-op (`active` is self-gating);
+        # open scenes die in 1-2 bounces so the ≤N-1 overshoot steps at
+        # the quota tail are negligible next to the sync savings.
         unroll = max(1, min(WHILE_UNROLL, quota * max_depth))
-        stepu = steps_n(unroll)
+        stepu = act_n(unroll)
 
         def wstep(carry):
             i, st = carry
-            return (i + unroll, stepu(i, st))
+            return (i + unroll, stepu(st))
 
         _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
     else:

@@ -24,7 +24,7 @@ def to_int_with_gamma_correction(x):
 
 
 def quantize_np(x: np.ndarray) -> np.ndarray:
-    """NumPy twin for host-side encoding (PPM writer fallback).
+    """NumPy twin for host-side encoding (the PPM writer).
 
     pow in float64 — matches the native C++ encoder bit-for-bit (f32 pow
     differs in the last ulp on ~0.4% of values, occasionally flipping the

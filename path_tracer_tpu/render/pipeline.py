@@ -362,9 +362,11 @@ def render(
     # until the device finishes, serializing passes — keeping them as device
     # handles lets jax queue the next pass while the previous one runs. The
     # drain stacks them into ONE device array first: each scalar fetch is a
-    # full host<->device round-trip (~25 ms through a remote-TPU tunnel),
-    # and per-pass counts stay exact (f32 holds integers to 2^24; only the
-    # host-side Python-int sum crosses it)
+    # full host<->device round-trip (~25 ms through a remote-TPU tunnel).
+    # Counts arrive as f32 (the kernels reduce them on-device), so passes
+    # beyond 2^24 rays are already rounded to ~1e-7 relative — num_rays is
+    # a throughput metric, not an exact tally; the int64 host sum just
+    # avoids adding further error
     ray_handles: list = []
 
     def drain_rays():
@@ -390,7 +392,7 @@ def render(
         if checkpoint_path and checkpoint_every and (
             (pass_idx + 1) % checkpoint_every == 0
         ):
-            drain_rays()  # checkpoint must record an exact ray count
+            drain_rays()  # the snapshot stores the count up to this pass
             accum.block_until_ready()
             np.savez(
                 checkpoint_path,

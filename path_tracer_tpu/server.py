@@ -160,9 +160,13 @@ def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
     """Resident renderer child: one line-JSON job per stdin line, stream of
     progress/result lines on stdout. Crashes and hangs are the front-end's
     problem (that is the point — it can kill this process)."""
-    out = sys.stdout
-    sys.stdout = sys.stderr  # stray prints (warm banners) must not corrupt
-    # the protocol stream
+    # Claim fd 1 for the protocol and point everything else at stderr —
+    # at the fd level, not just sys.stdout: native code (XLA dumps, libtpu
+    # banners, ctypes printf) writes to fd 1 directly and would corrupt
+    # the line-JSON stream.
+    out = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
     if os.environ.get("PT_TPU_CPU"):
         # JAX_PLATFORMS env can be re-pinned by site hooks after import;
         # the config route sticks (tests run workers on the CPU backend)
@@ -189,8 +193,13 @@ def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
         try:
             job = json.loads(line)
             if "__warm__" in job:
-                warm(list(job["__warm__"]), scene_dir, mesh_dir)
-                send({"done": True})
+                # one spec at a time, with a progress line after each, so a
+                # multi-spec cold warm keeps resetting the watchdog clock
+                specs = list(job["__warm__"])
+                for i, spec in enumerate(specs):
+                    warm([spec], scene_dir, mesh_dir)
+                    send({"progress": (i + 1) / len(specs)})
+                send({"done": True, "warmed": specs})
                 continue
             if job.get("__test_hang__"):  # stall-recovery test hook
                 threading.Event().wait()
@@ -252,10 +261,20 @@ class _Worker:
             if ln is None:
                 self.kill()
                 return {"error": "worker died mid-job; respawning on next job"}
-            msg = json.loads(ln)
-            if "done" in msg or "error" in msg:
-                return msg
-            send(msg)  # progress relay
+            try:
+                msg = json.loads(ln)
+                if "done" in msg or "error" in msg:
+                    return msg
+                send(msg)  # progress relay
+            except Exception as e:
+                # a stray stdout line, or the client hung up mid-relay: the
+                # worker is still mid-job, so its remaining output would
+                # answer the NEXT job (one-off protocol desync). Kill it —
+                # a fresh worker costs one respawn, a desynced one corrupts
+                # every job after.
+                self.kill()
+                return {"error": f"job relay failed ({type(e).__name__}: "
+                                 f"{e}); worker killed"}
 
     def kill(self):
         if self._proc is not None and self._proc.poll() is None:
@@ -280,7 +299,9 @@ def serve(socket_path: str = DEFAULT_SOCKET, *, scene_dir: str = "scenes",
     shutdown = threading.Event()
     worker = _Worker(scene_dir, mesh_dir, out_dir) if isolate else None
     if worker is not None and warm_specs:
-        worker.run_job({"__warm__": warm_specs}, lambda m: None, stall_timeout)
+        r = worker.run_job({"__warm__": warm_specs}, lambda m: None,
+                           max(stall_timeout, 1800.0))
+        print(f"warm: {r}")  # surface failures — silent cold serving is worse
 
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):

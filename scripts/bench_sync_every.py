@@ -22,16 +22,16 @@ from path_tracer_tpu.render.pipeline import (
     morton_pixel_order, prepare_scene_and_mode,
 )
 from path_tracer_tpu.render.raygen import camera_arrays
-from path_tracer_tpu.utils.config import RenderConfig, Resolution
+from path_tracer_tpu.utils.config import Resolution
 
 
 def main():
-    tv2.SYNC_EVERY_V3 = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    if len(sys.argv) > 1:  # no arg = bench the shipped default
+        tv2.SYNC_EVERY_V3 = int(sys.argv[1])
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 
     scene = pt.load_scene("cornell", "scenes")
     res = Resolution(768, 1024)
-    cfg = RenderConfig(samples_per_pixel=spp, resolution=res)
     bufs, mode = prepare_scene_and_mode(scene, "auto", res)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)

@@ -26,17 +26,17 @@ from path_tracer_tpu.render.pipeline import (
     morton_pixel_order, prepare_scene_and_mode,
 )
 from path_tracer_tpu.render.raygen import camera_arrays
-from path_tracer_tpu.utils.config import RenderConfig, Resolution
+from path_tracer_tpu.utils.config import Resolution
 
 
 def main():
-    tk.WHILE_UNROLL = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    if len(sys.argv) > 1:  # no arg = bench the shipped default
+        tk.WHILE_UNROLL = int(sys.argv[1])
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     sid = sys.argv[3] if len(sys.argv) > 3 else "single-sphere"
 
     scene = pt.load_scene(sid, "scenes")
     res = Resolution(256, 256)
-    cfg = RenderConfig(samples_per_pixel=spp, resolution=res)
     bufs, mode = prepare_scene_and_mode(scene, "auto", res)
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
