@@ -439,9 +439,10 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
     p_ = 0.25 + 0.5 * re
     pick_refl = (u_br < p_) | tir
     d_refr = [jnp.where(pick_refl, d_spec[k], td[k]) for k in range(3)]
-    w_refr = jnp.where(
-        tir, 1.0, jnp.where(u_br < p_, re / p_, (1.0 - re) / (1.0 - p_))
-    )
+    # select numerator/denominator first -> ONE divide instead of two
+    w_num = jnp.where(u_br < p_, re, 1.0 - re)
+    w_den = jnp.where(u_br < p_, p_, 1.0 - p_)
+    w_refr = jnp.where(tir, 1.0, w_num / w_den)
 
     is_diff = rtype < 0.5
     is_spec = (rtype >= 0.5) & (rtype < 1.5)
