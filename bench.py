@@ -44,18 +44,24 @@ def main():
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
 
-    if mode.startswith(("pallas3", "pallasr")):
-        k = min(spp, 256)  # mirror pipeline's quota cap
+    if mode.startswith("pallas3"):
+        k = min(spp, 256)  # mirror pipeline's quota caps
+    elif mode.startswith("pallasr"):
+        k = min(spp, 64)
     else:
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)
 
+    regen = mode.startswith(("pallas3:", "pallasr:"))
+
     def run_pass(accum, i):
+        # regen kernels take the per-pass quota at runtime (mirrors
+        # pipeline.render: one compiled program per scene/resolution)
         return integrator.render_pass(
             bufs, cam, accum, jnp.int32(i), base_key,
             width=width, height=height, samples_in_pass=k,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
-            mode=mode,
+            mode=mode, quota_rt=jnp.int32(k) if regen else None,
         )
 
     # warmup/compile (fetch to host: block_until_ready has been observed to

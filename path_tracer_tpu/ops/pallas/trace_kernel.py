@@ -454,7 +454,14 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
 
     thr_new = [thr[k] * color[k] * scale * wgt for k in range(3)]
     thr_max = jnp.maximum(thr_new[0], jnp.maximum(thr_new[1], thr_new[2]))
-    alive_new = found & ~die_rr & (thr_max > 0.0)
+    # unconditional max-depth cut. For max_depth > rr_start_depth (the
+    # reference production config) this is bit-identical to the RR-gated
+    # cut above; for max_depth <= rr_start_depth it matches the XLA
+    # integrator's scan bound — and it guarantees every sample terminates
+    # within max_depth steps, which the regen loops' static
+    # quota_cap*max_depth bound relies on under RUNTIME quotas.
+    die_depth = new_depth >= max_depth
+    alive_new = found & ~die_rr & ~die_depth & (thr_max > 0.0)
     return acc, thr_new, d_new, alive_new
 
 
@@ -469,12 +476,13 @@ def _make_kernel(
     trades a little HBM traffic (~112 B/ray per boundary) for much smaller
     Mosaic compile units and a hook for future inter-bounce compaction.
 
-    regen=(cam_consts, quota): regenerative variant — lanes own pixels,
+    regen=(cam_consts, quota_cap): regenerative variant — lanes own pixels,
     generate their rays in-kernel from the static camera constants, and
     restart the next sample the moment a path dies (see trace_v2 for the
     design; this is its prim-major twin for triangle-heavy scenes).
     Signature then becomes kernel(seed, pix, *tables, rad_out, count_out)
-    with n_steps = quota * max_depth and an all-done early exit.
+    with n_steps = quota_cap * max_depth, the RUNTIME quota in
+    seed_ref[0, 2], and an all-done early exit.
     """
 
     def kernel(seed_ref, *args):
@@ -741,7 +749,7 @@ def _make_kernel(
             return found, point, nrm, color, emis, rtype, new_prev
 
         if regen is not None:
-            cam_consts, quota = regen
+            cam_consts, quota_cap = regen
             rad_out, count_ref = outs
             pix = args[0][0, :][None, :]  # [1,B] f32 pixel indices
 
@@ -751,7 +759,8 @@ def _make_kernel(
 
             acc, counts = regen_loop(
                 seed_ref[0, 1].astype(jnp.float32), pix, isect, draw,
-                cam_consts, quota, max_depth, rr_start_depth,
+                cam_consts, seed_ref[0, 2].astype(jnp.float32), max_depth,
+                rr_start_depth, quota_cap=quota_cap,
             )
             for k in range(3):
                 rad_out[k, :] = acc[k][0, :]
@@ -844,7 +853,7 @@ def _scalar_any_left(done, quota):
 
 
 def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
-               rr_start_depth, loop="fori", sync_every=None):
+               rr_start_depth, loop="fori", sync_every=None, quota_cap=None):
     """Shape-agnostic regenerative main loop, shared by the static-scene
     (trace_v2, (8,L) lanes) and prim-major ((1,B) lanes) kernels: each lane
     owns one pixel, traces `quota` full samples with in-kernel raygen
@@ -857,7 +866,14 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
     uniforms (must consume the PRNG — carries initialized from constants
     crash Mosaic layout inference, so the zero seed derives from a draw).
     Returns (acc3, counts).
+
+    quota may be a TRACED scalar (runtime samples-per-lane) when quota_cap
+    gives the static loop bound — one compiled kernel then serves every
+    spp <= quota_cap (the early-exit cond skips the unused tail). With
+    quota_cap=None the loop bound is the (then static) quota itself.
     """
+    if quota_cap is None:
+        quota_cap = quota
     (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
     inv_w = float(np.float32(1.0 / W))
     inv_h = float(np.float32(1.0 / H))
@@ -976,7 +992,8 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         def not_done(carry):
             i, st = carry
             any_left = _scalar_any_left(st["done"], quota) > 0.0
-            return (i < quota * max_depth) & any_left
+            # quota may be traced; bound in f32 (values <= cap*depth, exact)
+            return (i.astype(jnp.float32) < quota * max_depth) & any_left
 
         # N bare steps per while iteration: the loop condition just
         # established not-all-done over this exact state, so an inner
@@ -985,7 +1002,7 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         # Overshoot past all-done is a no-op (`active` is self-gating);
         # open scenes die in 1-2 bounces so the ≤N-1 overshoot steps at
         # the quota tail are negligible next to the sync savings.
-        unroll = max(1, min(WHILE_UNROLL, quota * max_depth))
+        unroll = max(1, min(WHILE_UNROLL, quota_cap * max_depth))
         stepu = act_n(unroll)
 
         def wstep(carry):
@@ -995,8 +1012,8 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
     else:
         se = sync_every if sync_every is not None else SYNC_EVERY
-        se = max(1, min(se, quota * max_depth))
-        n_iters = -(-quota * max_depth // se)
+        se = max(1, min(se, quota_cap * max_depth))
+        n_iters = -(-quota_cap * max_depth // se)
         st = jax.lax.fori_loop(0, n_iters, steps_n(se), state)
     return st["acc"], st["counts"]
 
@@ -1004,7 +1021,7 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cam_consts", "quota", "max_depth", "rr_start_depth", "block"
+        "cam_consts", "max_depth", "rr_start_depth", "block", "quota_cap"
     ),
 )
 def trace_pallas_regen_prim(
@@ -1014,15 +1031,19 @@ def trace_pallas_regen_prim(
     seed,
     sample_base,
     *,
-    quota: int,
+    quota,
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = 1024,
+    quota_cap: int = 64,
 ):
     """Regenerative trace on the prim-major (table-driven) kernel — for
     triangle-heavy scenes. pixel_idx [N] i32 (one lane per pixel, N % block
     == 0); cam_consts from trace_v2.build_camera_consts (static tuple).
-    Returns (radiance SUM over quota [N,3], rays f32)."""
+    Returns (radiance SUM over quota [N,3], rays f32). quota is RUNTIME
+    (any spp <= quota_cap reuses the one compiled kernel; the cap is 64 —
+    not 256 like the static-scene kernel — because this kernel's loop body
+    is large and triangle-heavy scenes run low per-pass quotas anyway)."""
     n = pixel_idx.shape[0]
     if n % block:
         raise ValueError(f"N={n} must be a multiple of block={block}")
@@ -1035,9 +1056,9 @@ def trace_pallas_regen_prim(
     scene_keys = _scene_keys(kscene)
 
     kernel = _make_kernel(
-        S, M, T, block, quota * max_depth, max_depth, rr_start_depth,
+        S, M, T, block, quota_cap * max_depth, max_depth, rr_start_depth,
         False, pretest, n_tiles=n_tiles, tile_base=tile_base,
-        regen=(cam_consts, quota),
+        regen=(cam_consts, quota_cap),
     )
 
     def rspec(rows):
@@ -1058,7 +1079,8 @@ def trace_pallas_regen_prim(
         ),
     )(
         jnp.stack([jnp.asarray(seed, jnp.int32),
-                   jnp.asarray(sample_base, jnp.int32)]).reshape(1, 2),
+                   jnp.asarray(sample_base, jnp.int32),
+                   jnp.asarray(quota, jnp.int32)]).reshape(1, 3),
         pixel_idx.astype(jnp.float32).reshape(1, n),
         *[kscene[k] for k in scene_keys],
     )

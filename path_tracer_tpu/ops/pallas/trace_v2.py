@@ -436,7 +436,7 @@ def build_camera_consts(camera, width: int, height: int) -> tuple:
     )
 
 
-def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
+def _make_kernel_v3(consts, cam_consts, L, quota_cap, max_depth, rr_start_depth):
     """Regenerative static-scene kernel on (SUB, L) lanes: a thin wrapper
     around the shared trace_kernel.regen_loop with this module's static
     primitive scan as the isect callback (see regen_loop for semantics)."""
@@ -476,8 +476,9 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
 
         acc, counts = regen_loop(
             seed_ref[0, 1].astype(jnp.float32), pix_ref[0], isect, draw,
-            cam_consts, quota, max_depth, rr_start_depth, loop=loop,
-            sync_every=SYNC_EVERY_V3,
+            cam_consts, seed_ref[0, 2].astype(jnp.float32), max_depth,
+            rr_start_depth, loop=loop, sync_every=SYNC_EVERY_V3,
+            quota_cap=quota_cap,
         )
         for k in range(3):
             rad_ref[k] = acc[k]
@@ -489,7 +490,8 @@ def _make_kernel_v3(consts, cam_consts, L, quota, max_depth, rr_start_depth):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scene_key", "cam_key", "quota", "max_depth", "rr_start_depth", "block"
+        "scene_key", "cam_key", "max_depth", "rr_start_depth", "block",
+        "quota_cap",
     ),
 )
 def trace_pallas_regen(
@@ -499,15 +501,20 @@ def trace_pallas_regen(
     seed,
     sample_base,
     *,
-    quota: int,
+    quota,
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = 2048,
+    quota_cap: int = 256,
 ):
     """Regenerative trace: pixel_idx [N] i32 (one lane per pixel; N % block
     == 0), each lane traces `quota` full samples with in-kernel raygen.
     sample_base: global sample offset of this pass (for the 2x2 subpixel
     grid). Returns (radiance_sum [N,3] — SUM over quota samples, rays f32).
+
+    quota is a RUNTIME value (traced; any spp <= quota_cap reuses the one
+    compiled kernel — the loop bound comes from the static quota_cap and
+    the all-done early exit skips the unused tail).
     """
     consts = _SCENES[scene_key]
     cam_consts = _SCENES[cam_key]
@@ -518,7 +525,7 @@ def trace_pallas_regen(
     rows = n // L
 
     kernel = _make_kernel_v3(
-        consts, cam_consts, L, quota, max_depth, rr_start_depth
+        consts, cam_consts, L, quota_cap, max_depth, rr_start_depth
     )
 
     def rspec(k):
@@ -536,7 +543,8 @@ def trace_pallas_regen(
         ),
     )(
         jnp.stack([jnp.asarray(seed, jnp.int32),
-                   jnp.asarray(sample_base, jnp.int32)]).reshape(1, 2),
+                   jnp.asarray(sample_base, jnp.int32),
+                   jnp.asarray(quota, jnp.int32)]).reshape(1, 3),
         pixel_idx.astype(jnp.float32).reshape(1, rows, L),
     )
     return rad.reshape(3, n).T, jnp.sum(counts)

@@ -266,6 +266,7 @@ def render_pass(
     mock_random: bool = False,
     pixel_chunk: int = 0,
     chunk_start=None,
+    quota_rt=None,
 ):
     """One device dispatch: all pixels × samples_in_pass samples.
 
@@ -279,6 +280,10 @@ def render_pass(
     subpixel grid). Defaults to pass_idx*k — WRONG for a remainder pass
     whose k is smaller than the earlier passes'; schedulers with ragged
     passes must pass it explicitly.
+    quota_rt (regen modes only): RUNTIME samples-per-lane for this pass.
+    When given, samples_in_pass acts only as the static compile cap —
+    callers can vary per-pass sample counts (ragged remainders, any
+    spp <= cap) without recompiling anything.
     Returns (accum', rays_traced).
     """
     npix = width * height
@@ -293,8 +298,8 @@ def render_pass(
         scene_key = mode.split(":", 1)[1]
         rad_sum, rays = trace_with_kernel_regen(
             base, scene_key, f"cam:{scene_key}:{width}x{height}", key,
-            sample_base, quota=k, max_depth=max_depth,
-            rr_start_depth=rr_start_depth,
+            sample_base, quota=k if quota_rt is None else quota_rt,
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
         )
         return accum + rad_sum, rays
 
@@ -317,7 +322,8 @@ def render_pass(
         seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
         rad, rays = trace_pallas_regen_prim(
             pixels, scene["kernel"], cam_consts, seed, sample_base,
-            quota=k, max_depth=max_depth, rr_start_depth=rr_start_depth,
+            quota=k if quota_rt is None else quota_rt,
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
             block=block,
         )
         return accum + rad[:n], rays.astype(jnp.float32)

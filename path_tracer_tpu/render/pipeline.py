@@ -233,14 +233,24 @@ def render(
             # the matmul form materializes several [lanes, T] f32
             # intermediates (det/u/v/t) — same bound, smaller factor
             budget = min(budget, max(2_000_000_000 // (T * 16), 4096))
+    # regen kernels compile with a static quota_cap (256 static-scene / 64
+    # prim-major); a larger runtime quota would overrun the static loop
+    # bound (partial samples), so passes are capped to it
+    regen_cap = 0
+    if mode.startswith("pallas3"):
+        regen_cap = 256
+    elif mode.startswith("pallasr"):
+        regen_cap = 64
     if config.samples_per_pass:
         k = config.samples_per_pass
-    elif mode.startswith(("pallas3", "pallasr")):
+        if regen_cap:
+            k = min(k, regen_cap)
+    elif regen_cap:
         # regenerative kernel: state is per-PIXEL (not per-sample), so big
         # quotas amortize the ragged all-lanes-done tail (~1/sqrt(quota))
-        # and per-dispatch overhead; 256 keeps progress/cancel granularity
-        # under a second on one chip
-        k = min(spp, 256)
+        # and per-dispatch overhead; the cap keeps progress/cancel
+        # granularity in check
+        k = min(spp, regen_cap)
     else:
         k = _pick_samples_per_pass(npix, spp, budget)
     full_passes, remainder = divmod(spp, k)
@@ -300,6 +310,13 @@ def render(
             if verbose:
                 print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp")
 
+    # regen kernels take the pass's sample count at RUNTIME; the static
+    # samples_in_pass is pinned to the kernels' quota cap (256), so every
+    # pass of every spp — including ragged remainders — reuses ONE compiled
+    # program per (scene, resolution). A 100-spp job after a 512-spp warm
+    # compiles nothing.
+    regen_mode = regen_cap > 0
+
     def run_pass(accum, pass_idx: int, k_pass: int):
         if pass_runner is not None:
             return pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key)
@@ -314,7 +331,7 @@ def render(
                 jnp.int32(pass_idx * k),  # global sample base (k = FULL pass)
                 width=res.width,
                 height=res.height,
-                samples_in_pass=k_pass,
+                samples_in_pass=regen_cap if regen_mode else k_pass,
                 max_depth=config.max_depth,
                 rr_start_depth=config.rr_start_depth,
                 mode=mode,
@@ -322,6 +339,7 @@ def render(
                 mock_random=config.mock_random,
                 pixel_chunk=chunk,
                 chunk_start=jnp.int32(c * chunk) if chunk else None,
+                quota_rt=jnp.int32(k_pass) if regen_mode else None,
             )
             rays = rays + r
         return accum, rays

@@ -139,8 +139,10 @@ def _render_job(job: dict, send, scene_dir: str, mesh_dir: str,
 
 def warm(specs: list[str], scene_dir: str, mesh_dir: str) -> None:
     """Pre-compile kernels for "scene:res_y" specs so the first real job
-    doesn't pay the compile/cache load (renders one full-quota pass — the
-    same kernel real jobs reuse — and discards the image)."""
+    doesn't pay the compile/cache load (renders one full-quota pass and
+    discards the image). The regen kernels take the per-pass sample count
+    at RUNTIME, so this one pass warms jobs of EVERY spp at this
+    scene/resolution."""
     from path_tracer_tpu.models.scenes import load_scene
     from path_tracer_tpu.render.pipeline import render
     from path_tracer_tpu.utils.config import RenderConfig, Resolution

@@ -206,18 +206,66 @@ def test_regen_kernels_agree(all_scenes):
     pix = jnp.arange(n, dtype=jnp.int32)
 
     with pltpu.force_tpu_interpret_mode():
+        # quota_cap=quota keeps the interpreter's loop bound tight; the
+        # runtime-quota path (cap > quota) is covered by
+        # test_regen_runtime_quota below
         r3, c3 = tv2.trace_pallas_regen.__wrapped__(
             pix, "regen-test", "cam-regen-test", 3, 0, quota=2, max_depth=4,
-            block=1024,
+            block=1024, quota_cap=2,
         )
         rp, cp = tk.trace_pallas_regen_prim.__wrapped__(
             pix, kscene, cam_consts, 3, 0, quota=2, max_depth=4, block=1024,
+            quota_cap=2,
         )
     a, b = np.asarray(r3), np.asarray(rp)
     assert np.isfinite(a).all() and np.isfinite(b).all()
     frac = (np.abs(a - b).sum(axis=1) < 1e-3).mean()
     assert frac > 0.999, frac
     np.testing.assert_allclose(float(c3), float(cp), rtol=1e-6)
+
+
+def test_regen_runtime_quota(all_scenes):
+    """quota is a runtime scalar under a larger static quota_cap: the
+    result must be identical to compiling with quota_cap == quota (the
+    early-exit cond makes the unused loop tail a no-op), and per-pixel
+    sample counts must stay exact."""
+    import path_tracer_tpu.ops.pallas.trace_v2 as tv2
+
+    scene = all_scenes["cornell"]
+    packed = pt.pack_scene(scene)
+    W, H = 64, 16
+    n = W * H
+    consts = tv2.build_scene_consts(packed)
+    tv2.register_scene("rtq-test", consts)
+    cam_consts = tv2.build_camera_consts(scene.camera, W, H)
+    tv2.register_scene("cam-rtq-test", cam_consts)
+    pix = jnp.arange(n, dtype=jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        tight, c_tight = tv2.trace_pallas_regen.__wrapped__(
+            pix, "rtq-test", "cam-rtq-test", 3, 0, quota=2, max_depth=4,
+            block=1024, quota_cap=2,
+        )
+        capped, c_capped = tv2.trace_pallas_regen.__wrapped__(
+            pix, "rtq-test", "cam-rtq-test", 3, jnp.int32(0),
+            quota=jnp.int32(2), max_depth=4, block=1024, quota_cap=5,
+        )
+    np.testing.assert_array_equal(np.asarray(tight), np.asarray(capped))
+    np.testing.assert_array_equal(np.asarray(c_tight), np.asarray(c_capped))
+
+    # prim-major twin
+    kscene = tk.kernel_scene_buffers(packed)
+    with pltpu.force_tpu_interpret_mode():
+        pt_t, pc_t = tk.trace_pallas_regen_prim.__wrapped__(
+            pix, kscene, cam_consts, 3, 0, quota=2, max_depth=4, block=1024,
+            quota_cap=2,
+        )
+        pt_c, pc_c = tk.trace_pallas_regen_prim.__wrapped__(
+            pix, kscene, cam_consts, 3, 0, quota=jnp.int32(2), max_depth=4,
+            block=1024, quota_cap=5,
+        )
+    np.testing.assert_array_equal(np.asarray(pt_t), np.asarray(pt_c))
+    np.testing.assert_array_equal(np.asarray(pc_t), np.asarray(pc_c))
 
 
 def test_quad_detector_rejects_non_parallelograms():
