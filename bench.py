@@ -52,16 +52,16 @@ def main():
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)
 
-    regen = mode.startswith(("pallas3:", "pallasr:"))
-
     def run_pass(accum, i):
-        # regen kernels take the per-pass quota at runtime (mirrors
-        # pipeline.render: one compiled program per scene/resolution)
+        # quota_rt deliberately NOT passed: with a full-cap pass the
+        # constant-quota program is identical in work, and it is the one
+        # already in the compile cache (a traced-quota variant would force
+        # a fresh multi-minute tunnel compile for zero benchmark effect)
         return integrator.render_pass(
             bufs, cam, accum, jnp.int32(i), base_key,
             width=width, height=height, samples_in_pass=k,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
-            mode=mode, quota_rt=jnp.int32(k) if regen else None,
+            mode=mode,
         )
 
     # warmup/compile (fetch to host: block_until_ready has been observed to
