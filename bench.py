@@ -44,10 +44,14 @@ def main():
     cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
     base_key = rng.root_key(0)
 
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        QUOTA_CAP_PRIM, QUOTA_CAP_STATIC,
+    )
+
     if mode.startswith("pallas3"):
-        k = min(spp, 256)  # mirror pipeline's quota caps
+        k = min(spp, QUOTA_CAP_STATIC)  # the kernels' static quota caps
     elif mode.startswith("pallasr"):
-        k = min(spp, 64)
+        k = min(spp, QUOTA_CAP_PRIM)
     else:
         k = cfg.samples_per_pass or _pick_samples_per_pass(npix, spp, DEFAULT_LANE_BUDGET)
     n_passes = max(spp // k, 1)

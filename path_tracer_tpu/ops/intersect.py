@@ -54,6 +54,19 @@ INF = jnp.float32(jnp.inf)
 _PRECISION = lax.Precision.HIGHEST
 
 
+def set_precision(name: str) -> None:
+    """Set the matmul precision for the XLA intersection paths (process-
+    global; wired from RenderConfig.f32_precision). "highest" = exact f32
+    (default; geometry needs the mantissa), "high"/"default" trade accuracy
+    for MXU throughput on the [R,3]@[3,T] contractions."""
+    global _PRECISION
+    _PRECISION = {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }[name]
+
+
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
 

@@ -1,0 +1,292 @@
+"""Portal-deferred mesh tracing: the TPU answer to a per-ray BVH.
+
+Problem: the `mesh` scene (810-triangle mctri + Cornell walls) is brute-force
+bound — every bounce of every lane pays the whole triangle list, and all
+block-granularity culling measurably never fires for incoherent bounce rays
+(PERF.md). But only ~8% of ray segments can possibly hit the heavy mesh at
+all (their ray enters its AABB closer than any wall hit — measured with
+scripts/measure_mesh_fraction.py). A per-lane traversal stack would let each
+lane skip its own far geometry, but per-lane divergent memory access
+(gathers) is serial on TPU; the hardware-native way to "skip per lane" is to
+COMPACT the few lanes that need the work and run them dense.
+
+Architecture (three pieces, orchestrated by render.portal):
+
+1. K_cheap (here): a static-scene stepped kernel over the CHEAP geometry
+   (everything except the heavy mesh) in the ray-major (8,L) layout, plus a
+   conservative slab test against the heavy mesh's AABB (the "portal").
+   Each lane advances its path bounce by bounce until it dies — or until
+   its next segment COULD involve the mesh (portal entry not beyond the
+   cheap hit), in which case the lane FREEZES with its state intact.
+2. K_full (trace_kernel.trace_pallas_resolve): one full-scene bounce with
+   per-lane depth, run on the compacted frozen lanes only — the 810-triangle
+   cost is paid exactly by the ~8% of segments that need it, at 100% lane
+   occupancy.
+3. A persistent-pool scheduler (render.portal) that compacts frozen lanes,
+   resolves them, retires dead paths into the framebuffer, and refills free
+   lanes with fresh camera samples — all in fixed shapes with no host syncs.
+
+Correctness: the portal test is conservative (AABB padded; ties suspend), so
+a non-suspended segment provably cannot hit the heavy mesh and the cheap hit
+equals the full-scene hit (tested in tests/test_portal.py). Suspended
+segments are resolved against the FULL scene, so their closest hit is exact.
+Reference semantics (mod.rs:631-659 scan order, RR, BSDFs) ride the shared
+shade_phase / make_prim_scan / kernel table machinery unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_tracer_tpu.models.scene import ScenePacked
+from path_tracer_tpu.ops.pallas.trace_kernel import _uniform, shade_phase
+from path_tracer_tpu.ops.pallas.trace_v2 import (
+    SUB, _SCENES, f, build_scene_consts, make_prim_scan, register_scene,
+)
+
+BIG = 3.0e38
+
+# a mesh this big (triangles) makes the scene portal-eligible; below it the
+# plain prim-major kernel is already fast enough
+PORTAL_MIN_TRIS = 65
+
+# pool-state row layout (single [ROWS, n] f32 matrix so compaction is one
+# row-gather): o, d, thr, acc, alive, prev, depth, pix
+ROW_O = 0
+ROW_D = 3
+ROW_THR = 6
+ROW_ACC = 9
+ROW_ALIVE = 12
+ROW_PREV = 13
+ROW_DEPTH = 14
+ROW_PIX = 15
+ROWS = 16
+
+
+def build_portal_consts(packed: ScenePacked):
+    """Split a packed scene into (cheap static consts, heavy-mesh AABB).
+
+    Returns (consts, heavy_mesh_idx) where consts = (prims, bnd, (lo, hi))
+    for the K_cheap kernel, or None when the scene has no mesh above
+    PORTAL_MIN_TRIS triangles or the cheap remainder is too big to bake.
+    The AABB is padded (1e-4 relative + 1e-5 absolute) so the slab test is
+    conservative under f32 rounding — a false positive costs a deferred
+    resolve; a false negative would lose a hit.
+    """
+    nt = packed.num_triangles
+    if nt == 0:
+        return None
+    tm = np.asarray(packed.tri_mesh[:nt])
+    counts = np.bincount(tm, minlength=packed.num_meshes or 1)
+    heavy = int(np.argmax(counts))
+    if counts[heavy] < PORTAL_MIN_TRIS:
+        return None
+    sel = tm == heavy
+
+    keep = ~sel
+    n_keep = int(keep.sum())
+
+    def filt(a, pad_shape):
+        a = np.asarray(a)
+        out = np.zeros((max(n_keep, 1),) + a.shape[1:], a.dtype)
+        out[:n_keep] = a[:nt][keep]
+        return out
+
+    cheap = dataclasses.replace(
+        packed,
+        num_triangles=n_keep,
+        tri_v=filt(packed.tri_v, None),
+        tri_normal=filt(packed.tri_normal, None),
+        tri_color=filt(packed.tri_color, None),
+        tri_emis=filt(packed.tri_emis, None),
+        tri_rtype=filt(packed.tri_rtype, None),
+        tri_order=filt(packed.tri_order, None),
+        tri_obj=filt(packed.tri_obj, None),
+        tri_mesh=filt(packed.tri_mesh, None),
+    )
+    consts = build_scene_consts(cheap)
+    if consts is None:
+        return None
+
+    verts = np.asarray(packed.tri_v[:nt], np.float64)[sel].reshape(-1, 3)
+    lo = verts.min(axis=0)
+    hi = verts.max(axis=0)
+    slop = np.maximum(np.abs(verts).max(axis=0), hi - lo) * 1e-4 + 1e-5
+    lo = tuple(map(f, lo - slop))
+    hi = tuple(map(f, hi + slop))
+    prims, bnd = consts
+    return (prims, bnd, (lo, hi)), heavy
+
+
+def _fold_lanes(x):
+    """Fold a (SUB, L) mask down to (SUB, <=128) for a safe scalar reduce
+    (Mosaic relayout bug on wider reductions — see _scalar_any_left)."""
+    while x.shape[-1] > 128:
+        h = x.shape[-1] // 2
+        x = x[..., :h] + x[..., h:]
+    return jnp.sum(x)
+
+
+def _make_kernel_cheap(consts, L, max_depth, rr_start_depth):
+    """Stepped cheap-scene kernel with portal freeze, (SUB, L) ray layout.
+
+    State: one [ROWS, SUB, L] block (see row layout above). Each alive lane
+    advances until it dies or its next segment needs the heavy mesh (then it
+    freezes with state intact — alive stays 1). After the loop every alive
+    lane is frozen; the scheduler compacts them for the full-scene resolver.
+    """
+    prims, bnd, (lo, hi) = consts
+    prim_scan = make_prim_scan(prims, bnd)
+
+    def kernel(seed_ref, state_ref, out_ref, count_ref):
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
+        )
+
+        o = [state_ref[ROW_O + k] for k in range(3)]
+        d = [state_ref[ROW_D + k] for k in range(3)]
+        thr = [state_ref[ROW_THR + k] for k in range(3)]
+        acc = [state_ref[ROW_ACC + k] for k in range(3)]
+        alive_f = state_ref[ROW_ALIVE]
+        prev = state_ref[ROW_PREV]
+        depth = state_ref[ROW_DEPTH]
+        counts = jnp.zeros_like(alive_f)
+
+        def portal_blocked(o, d, alive):
+            """alive lanes whose segment could reach the heavy mesh: the
+            padded AABB slab test, accepted on ties with the cheap hit
+            (computed by the caller) — strictly conservative."""
+            t_en = jnp.zeros_like(o[0])
+            t_ex = jnp.full_like(o[0], BIG)
+            for k in range(3):
+                inv = 1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+                ta = (lo[k] - o[k]) * inv
+                tb = (hi[k] - o[k]) * inv
+                t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+                t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+            return (t_ex >= t_en) & (t_ex > 0.0) & alive, t_en
+
+        def body(carry):
+            o, d, thr, acc, alive_f, prev, depth, counts = carry
+            alive = alive_f > 0.0
+
+            hit_box, t_en = portal_blocked(o, d, alive)
+            tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = prim_scan(
+                o, d, prev
+            )
+            needs = hit_box & (t_en <= tmin)  # ties suspend (conservative)
+            proc = alive & ~needs
+            counts = counts + proc.astype(jnp.float32)
+
+            found = (tmin < BIG) & proc
+            point = [o[k] + d[k] * tmin for k in range(3)]
+            sn = [point[k] - h_aux[k] for k in range(3)]
+            sl = jax.lax.rsqrt(
+                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+            )
+            sph_w = h_sph > 0.5
+            nrm = [jnp.where(sph_w, sn[k] * sl, h_aux[k]) for k in range(3)]
+            new_prev = jnp.where(found, h_prev, -1.0)
+
+            u4 = [_uniform((SUB, L)) for _ in range(4)]
+            new_depth = depth + 1.0
+            acc, thr_new, d_new, alive_new = shade_phase(
+                d, nrm, h_color, h_emis, h_rtype, found, thr, acc, u4,
+                new_depth, max_depth, rr_start_depth,
+            )
+            # alive_new ⊆ found ⊆ proc: frozen lanes keep o/d via the
+            # alive_new selects; thr/prev/alive need explicit preservation
+            am = alive_new.astype(jnp.float32)
+            o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
+            d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
+            thr = [
+                jnp.where(needs, thr[k], thr_new[k] * am) for k in range(3)
+            ]
+            prev = jnp.where(needs, prev, new_prev)
+            alive_f = jnp.where(needs, alive_f, am)
+            depth = depth + proc.astype(jnp.float32)
+            return (o, d, thr, acc, alive_f, prev, depth, counts)
+
+        def step(_, carry):
+            # once no lane can advance (all dead or frozen), every later
+            # step is a no-op — skip the body on one scalar branch
+            o, d, thr, acc, alive_f, prev, depth, counts = carry
+            alive = alive_f > 0.0
+            blocked, t_en_chk = portal_blocked(o, d, alive)
+            runnable = alive & ~blocked
+            return jax.lax.cond(
+                _fold_lanes(runnable.astype(jnp.float32)) > 0.0,
+                body, lambda c: c, carry,
+            )
+
+        carry = jax.lax.fori_loop(
+            0, max_depth, step,
+            (o, d, thr, acc, alive_f, prev, depth, counts),
+        )
+        o, d, thr, acc, alive_f, prev, depth, counts = carry
+        for k in range(3):
+            out_ref[ROW_O + k] = o[k]
+            out_ref[ROW_D + k] = d[k]
+            out_ref[ROW_THR + k] = thr[k]
+            out_ref[ROW_ACC + k] = acc[k]
+        out_ref[ROW_ALIVE] = alive_f
+        out_ref[ROW_PREV] = prev
+        out_ref[ROW_DEPTH] = depth
+        out_ref[ROW_PIX] = state_ref[ROW_PIX]
+        count_ref[0] = counts
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("portal_key", "max_depth", "rr_start_depth", "block"),
+    donate_argnums=(0,),
+)
+def trace_cheap_blocked(
+    pool,
+    portal_key: str,
+    seed,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 2048,
+):
+    """Advance every pool lane through cheap-scene bounces until it dies or
+    freezes at the portal. pool: [ROWS, n] f32 (row layout above), n % block
+    == 0. Returns (pool', rays_traced). After this call alive == frozen.
+    """
+    consts = _SCENES[portal_key]
+    n = pool.shape[1]
+    if n % block or block % SUB:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    L = block // SUB
+    rows8 = n // L
+    kernel = _make_kernel_cheap(consts, L, max_depth, rr_start_depth)
+
+    def rspec(k):
+        return pl.BlockSpec((k, SUB, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out, counts = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rspec(ROWS)],
+        out_specs=(rspec(ROWS), rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((ROWS, rows8, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows8, L), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        pool.reshape(ROWS, rows8, L),
+    )
+    return out.reshape(ROWS, n), jnp.sum(counts)

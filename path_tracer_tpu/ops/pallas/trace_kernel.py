@@ -41,6 +41,12 @@ BIG = 3.0e38  # ~f32 max: "miss" sentinel (inf-free math inside the kernel)
 
 DEFAULT_BLOCK = 512
 
+# static quota caps for the regenerative kernels (the compiled loop bound is
+# quota_cap * max_depth; runtime quotas must stay <= the cap). Singly defined
+# here — pipeline.py / bench.py import these instead of re-hardcoding.
+QUOTA_CAP_PRIM = 64  # prim-major regen kernel (large loop body)
+QUOTA_CAP_STATIC = 256  # static-scene regen kernel (trace_v2)
+
 # regen fori loop: steps per all-done scalar sync (see regen_loop.steps_n)
 SYNC_EVERY = 1
 
@@ -194,8 +200,16 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
     tri_rtype = collapse(sc.tri_rtype, 0.0)
     tri_order = collapse(np.minimum(np.asarray(sc.tri_order), 2**24), 1.0e9)
     tri_quad = np.zeros(T, np.float32)
+    # canonical per-row PACKED triangle index (quads: the pair's first
+    # triangle) — prev-exclusion and new_prev use THIS id, not the kernel
+    # row index, so prev values are meaningful across kernels (the static
+    # v2/v3 kernels and the XLA integrator use packed ids already; the
+    # portal scheduler hands paths between kernels). Padding: -2 (never
+    # equals a real id or the "none" sentinel -1).
+    tri_pid = np.full(T, -2.0, np.float32)
     for row, i in enumerate(keep):
         tri_quad[row] = 1.0 if i in quads else 0.0
+        tri_pid[row] = float(i)
     tri_mesh_c = np.asarray(sc.tri_mesh)[keep] if nt else np.zeros(0, np.int64)
 
     tiles = None
@@ -257,6 +271,7 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
         tri_rtype = reorder(tri_rtype)
         tri_order = reorder(tri_order, 1.0e9)
         tri_quad = reorder(tri_quad)
+        tri_pid = reorder(tri_pid, -2.0)
 
         # tile AABBs: much tighter than bounding spheres for flat surface
         # patches (a sphere pays the full diagonal), and the slab test is
@@ -298,6 +313,7 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
         "tri_rtype": prep(tri_rtype, T),
         "tri_order": prep(tri_order, T, order_fill),
         "tri_quad": prep(tri_quad, T),
+        "tri_pid": prep(tri_pid, T, -2.0),
     }
     if tiles is not None:
         tile_lo, tile_hi, _, _ = tiles
@@ -467,7 +483,7 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
 
 def _make_kernel(
     S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
-    n_tiles=0, tile_base=0, regen=None,
+    n_tiles=0, tile_base=0, regen=None, per_lane_depth=False,
 ):
     """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
 
@@ -483,11 +499,19 @@ def _make_kernel(
     Signature then becomes kernel(seed, pix, *tables, rad_out, count_out)
     with n_steps = quota_cap * max_depth, the RUNTIME quota in
     seed_ref[0, 2], and an all-done early exit.
+
+    per_lane_depth (stepped variant only): bounce depth rides a [1,B] state
+    row instead of the uniform SMEM depth0 — for batches mixing paths of
+    different depths (the portal scheduler's mesh-segment resolver).
     """
 
     def kernel(seed_ref, *args):
         if regen is None:
-            o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref, *rest = args
+            if per_lane_depth:
+                (o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref,
+                 depth_ref, *rest) = args
+            else:
+                o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref, *rest = args
         else:
             pix_ref, *rest = args
         if fixed_uniforms:
@@ -504,6 +528,7 @@ def _make_kernel(
         (
             tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
             tri_normal, tri_color, tri_emis, tri_rtype, tri_order, tri_quad,
+            tri_pid,
             *outs,
         ) = rest
         depth0 = seed_ref[0, 1] if regen is None else jnp.int32(0)
@@ -566,11 +591,15 @@ def _make_kernel(
                         + col(tab, 2) * vec[2]
                     )
 
+                # row iota drives the first-wins tie-break/one-hot; the
+                # PACKED id column drives prev-exclusion and the winner id
+                # (prev is meaningful across kernels — see kernel_scene_buffers)
                 idx = (
                     jax.lax.broadcasted_iota(jnp.int32, (size, lw), 0)
                     .astype(jnp.float32)
                     + float(lo)
                 )
+                pid = tri_pid[0, lo : lo + size][:, None]
                 det = -dotT(tri_n, db)
                 udet = dotT(tri_e2, mb) - dotT(tri_e2xa, db)
                 vdet = -dotT(tri_e1, mb) - dotT(tri_axe1, db)
@@ -591,19 +620,19 @@ def _make_kernel(
                     & (u_ >= 0.0) & (u_ <= 1.0)
                     & (v_ >= 0.0) & (uv_hi <= 1.0)
                     & (t_ > EPS_TRI_T)
-                    & (idx != prevb)
+                    & (pid != prevb)
                 )
                 if pretest:
                     valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
                 t_tri = jnp.where(valid, t_, BIG)
-                d_t, oh_t, i_t = _first_min_sublane(t_tri, idx)
+                d_t, oh_t, _ = _first_min_sublane(t_tri, idx)
 
                 def read_t(tab, k):
                     return jnp.sum(col(tab, k) * oh_t, axis=0, keepdims=True)
 
                 return (
                     d_t,
-                    i_t,
+                    read_t(tri_pid, 0),
                     [read_t(tri_normal, k) for k in range(3)],
                     [read_t(tri_color, k) for k in range(3)],
                     [read_t(tri_emis, k) for k in range(3)],
@@ -767,8 +796,11 @@ def _make_kernel(
             count_ref[0, :] = counts[0, :]
             return
 
-        o_ref, d_ref, thr_ref, acc_ref, alive_ref, prev_ref = args[:6]
-        o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref = outs
+        if per_lane_depth:
+            (o_out, d_out, thr_out, acc_out, alive_out, prev_out, depth_out,
+             count_ref) = outs
+        else:
+            o_out, d_out, thr_out, acc_out, alive_out, prev_out, count_ref = outs
 
         # per-ray state: lists of [1,B]
         o = [o_ref[k, :][None, :] for k in range(3)]
@@ -777,10 +809,13 @@ def _make_kernel(
         acc = [acc_ref[k, :][None, :] for k in range(3)]
         alive_f = alive_ref[0, :][None, :]
         prev = prev_ref[0, :][None, :]
+        depth_row = (
+            depth_ref[0, :][None, :] if per_lane_depth else jnp.zeros((1, B))
+        )
         counts = jnp.zeros((1, B), jnp.float32)
 
         def body(s, carry):
-            o, d, thr, acc, alive_f, prev, counts = carry
+            o, d, thr, acc, alive_f, prev, depth_row, counts = carry
             alive = alive_f > 0.0
             counts = counts + alive_f
 
@@ -795,7 +830,10 @@ def _make_kernel(
                 u = _uniform((4, B))
                 u4 = [u[k, :][None, :] for k in range(4)]
 
-            new_depth = depth0 + s + 1
+            if per_lane_depth:
+                new_depth = depth_row + 1.0  # [1,B] f32 (exact < 2^24)
+            else:
+                new_depth = depth0 + s + 1
             acc, thr_new, d_new, alive_new = shade_phase(
                 d, nrm, color, emis, rtype, found, thr, acc, u4,
                 new_depth, max_depth, rr_start_depth,
@@ -804,7 +842,8 @@ def _make_kernel(
             o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
             d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
             thr = [thr_new[k] * am for k in range(3)]
-            return (o, d, thr, acc, am, new_prev, counts)
+            depth_row = depth_row + alive_f  # advanced one bounce if it ran
+            return (o, d, thr, acc, am, new_prev, depth_row, counts)
 
         def run_steps(carry):
             if n_steps <= 4:
@@ -819,6 +858,12 @@ def _make_kernel(
         # (trace_pallas_sorted), whole trailing blocks go dead — one scalar
         # branch skips their entire bounce loop (the poor lane's compaction:
         # no gather/scatter, just the sort the caller already did).
+        # INVARIANT: a skipped block's prev/thr are whatever they were at
+        # death (prev keeps the last triangle id; an executed step would
+        # have reset prev to -1 and rewritten thr). Dead lanes never
+        # resurrect in the stepped kernel, so this is inert — but any
+        # future regen/stepped hybrid or compaction pass must not read
+        # prev/thr of lanes that died in a skipped block.
         live = alive_f
         while live.shape[-1] > 128:  # Mosaic: reduce at most (8,128) at once
             h = live.shape[-1] // 2
@@ -826,9 +871,9 @@ def _make_kernel(
         any_alive = jnp.sum(live) > 0.0
         carry = jax.lax.cond(
             any_alive, run_steps, lambda c: c,
-            (o, d, thr, acc, alive_f, prev, counts),
+            (o, d, thr, acc, alive_f, prev, depth_row, counts),
         )
-        o, d, thr, acc, alive_f, prev, counts = carry
+        o, d, thr, acc, alive_f, prev, depth_row, counts = carry
         for k in range(3):
             o_out[k, :] = o[k][0, :]
             d_out[k, :] = d[k][0, :]
@@ -836,6 +881,8 @@ def _make_kernel(
             acc_out[k, :] = acc[k][0, :]
         alive_out[0, :] = alive_f[0, :]
         prev_out[0, :] = prev[0, :]
+        if per_lane_depth:
+            depth_out[0, :] = depth_row[0, :]
         count_ref[0, :] = counts[0, :]
 
     return kernel
@@ -1035,7 +1082,7 @@ def trace_pallas_regen_prim(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = 1024,
-    quota_cap: int = 64,
+    quota_cap: int = QUOTA_CAP_PRIM,
 ):
     """Regenerative trace on the prim-major (table-driven) kernel — for
     triangle-heavy scenes. pixel_idx [N] i32 (one lane per pixel, N % block
@@ -1047,6 +1094,10 @@ def trace_pallas_regen_prim(
     n = pixel_idx.shape[0]
     if n % block:
         raise ValueError(f"N={n} must be a multiple of block={block}")
+    # a runtime quota beyond the static cap would silently truncate samples
+    # (the loop bound is quota_cap * max_depth) — reject concrete overruns
+    if isinstance(quota, (int, np.integer)) and quota > quota_cap:
+        raise ValueError(f"quota={quota} exceeds static quota_cap={quota_cap}")
     S = kscene["sph_rad2"].shape[1]
     M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
@@ -1087,12 +1138,90 @@ def trace_pallas_regen_prim(
     return rad.T, jnp.sum(counts)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "rr_start_depth", "block"),
+)
+def trace_pallas_resolve(
+    o, d, thr, acc, alive, prev, depth,
+    kscene: dict,
+    seed,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 1024,
+    uniforms=None,
+):
+    """ONE full-scene bounce for a batch of mid-path rays whose depths
+    differ per lane — the portal scheduler's mesh-segment resolver (each
+    suspended path gets its blocking segment intersected against the whole
+    scene, shaded, and handed back).
+
+    o, d, thr, acc: [3, n]; alive, prev, depth: [1, n] (prev in PACKED
+    triangle ids; depth = bounces already completed). n % block == 0.
+    uniforms (testing only): [4, n] injected uniforms replacing the PRNG.
+    Returns the updated 7 state arrays plus per-lane counts [1, n]
+    (1.0 where a segment was traced).
+    """
+    n = o.shape[1]
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    S = kscene["sph_rad2"].shape[1]
+    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
+    T = kscene["tri_na"].shape[1]
+    pretest = "gate" in kscene
+    n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
+    tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
+    scene_keys = _scene_keys(kscene)
+    fixed = uniforms is not None
+    kernel = _make_kernel(
+        S, M, T, block, 1, max_depth, rr_start_depth, fixed, pretest,
+        n_tiles=n_tiles, tile_base=tile_base, per_lane_depth=True,
+    )
+
+    def rspec(rows):
+        return pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    state_specs = [rspec(3), rspec(3), rspec(3), rspec(3), rspec(1), rspec(1),
+                   rspec(1)]
+    uni_specs = [rspec(4)] if fixed else []
+    uni_args = [uniforms] if fixed else []
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *state_specs,
+            *uni_specs,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in scene_keys],
+        ],
+        out_specs=(*state_specs, rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # o
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # d
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # thr
+            jax.ShapeDtypeStruct((3, n), jnp.float32),  # acc
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # alive
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # prev
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # depth
+            jax.ShapeDtypeStruct((1, n), jnp.float32),  # counts
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6},
+    )(
+        jnp.stack([jnp.asarray(seed, jnp.int32), jnp.int32(0)]).reshape(1, 2),
+        o, d, thr, acc, alive, prev, depth,
+        *uni_args,
+        *[kscene[k] for k in scene_keys],
+    )
+    return out
+
+
 _SPH_KEYS = "sph_center sph_rad2 sph_color sph_emis sph_rtype sph_order".split()
 _BND_KEYS = "bnd_center bnd_rad2 gate".split()
 _TILE_KEYS = "tile_lo tile_hi".split()
 _TRI_KEYS = (
     "tri_n tri_e1 tri_e2 tri_e2xa tri_axe1 tri_na "
-    "tri_normal tri_color tri_emis tri_rtype tri_order tri_quad"
+    "tri_normal tri_color tri_emis tri_rtype tri_order tri_quad tri_pid"
 ).split()
 
 
@@ -1142,6 +1271,12 @@ def trace_pallas(
     n_calls = -(-max_depth // steps)
 
     fixed = uniforms is not None
+    if fixed and max_depth % steps:
+        # the last call's uniform slice would come up short of the BlockSpec
+        raise ValueError(
+            f"with injected uniforms, steps_per_call={steps} must divide "
+            f"max_depth={max_depth}"
+        )
     pretest = "gate" in kscene
     n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
@@ -1285,6 +1420,11 @@ def trace_pallas_sorted(
     steps = min(sort_every, max_depth)
     n_calls = -(-max_depth // steps)
     fixed = uniforms is not None
+    if fixed and max_depth % steps:
+        raise ValueError(
+            f"with injected uniforms, sort_every={steps} must divide "
+            f"max_depth={max_depth}"
+        )
     pretest = "gate" in kscene
     n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.models.scene import ScenePacked
 from path_tracer_tpu.ops.pallas.trace_kernel import (
-    _uniform, detect_quad_pairs, shade_phase,
+    QUOTA_CAP_STATIC, _uniform, detect_quad_pairs, shade_phase,
 )
 
 BIG = 3.0e38
@@ -505,7 +505,7 @@ def trace_pallas_regen(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     block: int = 2048,
-    quota_cap: int = 256,
+    quota_cap: int = QUOTA_CAP_STATIC,
 ):
     """Regenerative trace: pixel_idx [N] i32 (one lane per pixel; N % block
     == 0), each lane traces `quota` full samples with in-kernel raygen.
@@ -521,6 +521,9 @@ def trace_pallas_regen(
     n = pixel_idx.shape[0]
     if n % block or block % SUB:
         raise ValueError(f"N={n} must be a multiple of block={block}")
+    # a runtime quota beyond the static cap would silently truncate samples
+    if isinstance(quota, (int, np.integer)) and quota > quota_cap:
+        raise ValueError(f"quota={quota} exceeds static quota_cap={quota_cap}")
     L = block // SUB
     rows = n // L
 

@@ -101,17 +101,44 @@ def prepare_scene_and_mode(
 
         consts = trace_v2.build_scene_consts(packed)
         if consts is None and resolution is not None and regen:
-            # triangle-heavy scene: regenerative prim-major kernel
+            # triangle-heavy scene. Preferred: portal-deferred tracing (the
+            # heavy mesh's triangles are paid only by the ~8% of segments
+            # that can reach its AABB — see ops.pallas.portal). Fallback:
+            # the regenerative prim-major kernel (brute force per bounce).
+            from path_tracer_tpu.ops.pallas import portal as portal_mod
+
+            portal = (
+                None
+                if os.environ.get("PT_TPU_NO_PORTAL")
+                else portal_mod.build_portal_consts(packed)
+            )
             w, h = resolution.width, resolution.height
             cam_digest = hashlib.sha1(
                 dumps_scene_json(scene.camera.to_json()).encode()
                 + f":{w}x{h}".encode()
             ).hexdigest()[:12]
-            cam_key = f"camr:{cam_digest}:{w}x{h}"
-            trace_v2.register_scene(
-                cam_key, trace_v2.build_camera_consts(scene.camera, w, h)
-            )
-            mode = f"pallasr:{cam_key}"
+            if portal is not None:
+                portal_consts, _heavy = portal
+                objs_json = dumps_scene_json(
+                    {"objects": [o.to_json() for o in scene.objects]}
+                )
+                pkey = "portal:" + hashlib.sha1(
+                    objs_json.encode()
+                ).hexdigest()[:16]
+                trace_v2.register_scene(pkey, portal_consts)
+                if "kernel" not in bufs:
+                    from path_tracer_tpu.ops.pallas.trace_kernel import (
+                        kernel_scene_buffers,
+                    )
+
+                    bufs["kernel"] = kernel_scene_buffers(packed)
+                mode = pkey
+            else:
+                cam_key = f"camr:{cam_digest}:{w}x{h}"
+                trace_v2.register_scene(
+                    cam_key, trace_v2.build_camera_consts(scene.camera, w, h)
+                )
+                mode = f"pallasr:{cam_key}"
         elif consts is not None:
             objs_json = dumps_scene_json(
                 {"objects": [o.to_json() for o in scene.objects]}
@@ -196,6 +223,11 @@ def render(
 ) -> RenderDone:
     """Render a scene to completion (or cancellation). See module docstring."""
     config = config.validated()
+    if config.f32_precision != "highest":
+        from path_tracer_tpu.ops import intersect
+
+        # process-global; affects newly compiled programs only
+        intersect.set_precision(config.f32_precision)
     if checkpoint_path and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"  # np.savez appends it regardless
     res = config.resolution
@@ -238,8 +270,16 @@ def render(
     # bound (partial samples), so passes are capped to it
     regen_cap = 0
     if mode.startswith("pallas3"):
-        regen_cap = 256
+        from path_tracer_tpu.ops.pallas.trace_kernel import QUOTA_CAP_STATIC
+
+        regen_cap = QUOTA_CAP_STATIC
     elif mode.startswith("pallasr"):
+        from path_tracer_tpu.ops.pallas.trace_kernel import QUOTA_CAP_PRIM
+
+        regen_cap = QUOTA_CAP_PRIM
+    elif mode.startswith("portal:"):
+        # the portal scheduler has no static quota; the cap only sets the
+        # pass (= progress/cancel/checkpoint) granularity
         regen_cap = 64
     if config.samples_per_pass:
         k = config.samples_per_pass
@@ -254,6 +294,19 @@ def render(
     else:
         k = _pick_samples_per_pass(npix, spp, budget)
     full_passes, remainder = divmod(spp, k)
+
+    if pass_runner is None and mode.startswith("portal:"):
+        from path_tracer_tpu.render.portal import make_portal_pass_runner
+
+        pass_runner = make_portal_pass_runner(
+            portal_key=mode,
+            npix=npix,
+            width=res.width,
+            height=res.height,
+            k_full=k,
+            max_depth=config.max_depth,
+            rr_start_depth=config.rr_start_depth,
+        )
 
     # pixel chunking: when even one sample/pixel exceeds the lane budget
     # (full-res renders of triangle-heavy scenes in the XLA modes), split
@@ -295,20 +348,35 @@ def render(
     # ---- resume ----
     if checkpoint_path and os.path.exists(checkpoint_path):
         ck = np.load(checkpoint_path)
-        if (
-            int(ck["seed"]) == config.seed
-            and int(ck["spp"]) == spp
-            and int(ck["npix"]) == npix
-            and int(ck["k"]) == k
-            # padded accumulator must match this run's chunking
-            and ck["accum"].shape[0] == npix_pad
-        ):
+        mismatches = [
+            f"{name} {int(ck[name])} != {want}"
+            for name, want in (
+                ("seed", config.seed), ("spp", spp), ("npix", npix), ("k", k),
+            )
+            if int(ck[name]) != want
+        ]
+        if ck["accum"].shape[0] != npix_pad:
+            mismatches.append(
+                f"accum rows {ck['accum'].shape[0]} != {npix_pad} (chunking)"
+            )
+        if not mismatches:
             accum = jnp.asarray(ck["accum"])
             samples_done = int(ck["samples_done"])
             pass_start = int(ck["next_pass"])
             stats.num_rays = int(ck["num_rays"])
             if verbose:
                 print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp")
+        else:
+            # a silently dropped checkpoint would discard hours of
+            # accumulation without a trace — ALWAYS say why it was ignored
+            import sys
+
+            print(
+                f"WARNING: ignoring checkpoint {checkpoint_path} "
+                f"(config mismatch: {'; '.join(mismatches)}); "
+                "rendering restarts from zero",
+                file=sys.stderr,
+            )
 
     # regen kernels take the pass's sample count at RUNTIME; the static
     # samples_in_pass is pinned to the kernels' quota cap (256), so every

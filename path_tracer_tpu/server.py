@@ -265,18 +265,25 @@ class _Worker:
                 return {"error": "worker died mid-job; respawning on next job"}
             try:
                 msg = json.loads(ln)
-                if "done" in msg or "error" in msg:
-                    return msg
-                send(msg)  # progress relay
             except Exception as e:
-                # a stray stdout line, or the client hung up mid-relay: the
-                # worker is still mid-job, so its remaining output would
-                # answer the NEXT job (one-off protocol desync). Kill it —
-                # a fresh worker costs one respawn, a desynced one corrupts
-                # every job after.
+                # a stray stdout line: the worker is mid-job and its
+                # remaining output would answer the NEXT job (one-off
+                # protocol desync). Kill it — a fresh worker costs one
+                # respawn, a desynced one corrupts every job after.
                 self.kill()
                 return {"error": f"job relay failed ({type(e).__name__}: "
                                  f"{e}); worker killed"}
+            if "done" in msg or "error" in msg:
+                return msg
+            try:
+                send(msg)  # progress relay
+            except Exception:
+                # the CLIENT hung up mid-relay; the worker itself is fine.
+                # Drain its stream to the job's final line so the protocol
+                # stays in sync and the warm compiled state survives —
+                # the job completes (and checkpoints) even with nobody
+                # listening.
+                send = lambda m: None  # noqa: E731 — drop later progress
 
     def kill(self):
         if self._proc is not None and self._proc.poll() is None:

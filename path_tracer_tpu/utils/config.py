@@ -38,10 +38,12 @@ class RenderConfig:
     samples_per_pixel: int = 100
     resolution: Resolution = field(default_factory=Resolution)
 
-    # Integrator constants (parity: mod.rs:28,661,676-683,737-758)
+    # Integrator constants (parity: mod.rs:28,661,676-683,737-758).
+    # Back-face culling stays off unconditionally (USE_CULLING=false is a
+    # compile-time const in the reference, mod.rs:28; the |det| epsilon
+    # test in ops.intersect bakes the culling-off semantics).
     max_depth: int = 12
     rr_start_depth: int = 5  # Russian roulette when new_depth > 5
-    use_culling: bool = False
 
     # RNG
     seed: int = 0
@@ -50,11 +52,13 @@ class RenderConfig:
     mock_random: bool = False
 
     # Execution
-    backend: str = "auto"  # auto | jnp | mxu | pallas | bvh
+    backend: str = "auto"  # auto | jnp | mxu | pallas | exact | fast
     samples_per_pass: int = 0  # 0 = auto-pick from HBM budget
     pixel_chunk: int = 0  # 0 = whole frame per dispatch
-    f32_precision: str = "highest"  # matmul precision for intersection
-    early_exit: bool = True  # stop bounce loop when all rays are dead
+    # matmul precision for the XLA intersection paths ("highest" | "high" |
+    # "default"); geometry at "default" (bf16 passes) visibly misses —
+    # exposed for experiments, wired through ops.intersect.set_precision
+    f32_precision: str = "highest"
     validate: bool = False  # enforce GUI ranges
 
     def validated(self) -> "RenderConfig":

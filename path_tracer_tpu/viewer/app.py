@@ -71,15 +71,19 @@ class ViewerState:
         self.render_seconds = 0.0
         self.render_error: str | None = None
         self.render_image: np.ndarray | None = None  # [H,W,3]
+        self.render_hash: int = 0  # content hash of render_image (C15)
         self._cancel = threading.Event()
         self._render_thread: threading.Thread | None = None
         self._lock = threading.Lock()
 
     # --- preview / camera ---
 
-    def preview_frame(self) -> bytes:
+    def preview_frame(self) -> tuple[bytes, str]:
+        """(png, etag). The etag is the content hash (C15, mod.rs:916-926) —
+        clients redraw only when it changes, the HTTP analog of the
+        reference's hash-keyed canvas cache (render_tab.rs:240-326)."""
         img = self.preview.step()
-        return _png_bytes(np.power(img.to_grid(), 1 / 2.2))
+        return _png_bytes(np.power(img.to_grid(), 1 / 2.2)), f'"{img.hash:x}"'
 
     def control(self, action: str, dx: float, dy: float):
         nav = self.navigator
@@ -147,6 +151,7 @@ class ViewerState:
                 self.render_progress = update.progress
                 if update.image is not None:
                     self.render_image = update.image.to_grid()
+                    self.render_hash = update.image.hash
 
             try:
                 done = pt.render(
@@ -155,6 +160,7 @@ class ViewerState:
                     cancel=self._cancel.is_set, verbose=False,
                 )
                 self.render_image = done.image.to_grid()
+                self.render_hash = done.image.hash
                 self.render_seconds = done.duration
                 self.render_state = "done"
             except Exception as e:  # surface errors to the UI
@@ -223,13 +229,18 @@ async function refreshState(){let s=await (await fetch('/state')).json();
   (s.render_error?` ERROR: ${s.render_error}`:'');
  if(s.render_state=='rendering'||s.render_state=='done'){
   let r=document.getElementById('render');r.style.display='block';
-  r.src='/render.png?t='+Date.now()}}
+  let resp=await fetch('/render.png',{cache:'no-cache'});
+  if(resp.status==200){let b=await resp.blob();
+   let u=URL.createObjectURL(b);r.onload=()=>URL.revokeObjectURL(u);r.src=u}}}
 function selScene(){post('/select_scene',{id:document.getElementById('scene').value})}
 function startRender(){post('/start_render',{spp:+document.getElementById('spp').value,
  res_y:+document.getElementById('resy').value})}
 let img=document.getElementById('preview');
-function refreshPreview(){img.src='/preview.png?t='+Date.now()}
-img.onload=()=>setTimeout(refreshPreview,200);img.onerror=()=>setTimeout(refreshPreview,1000);
+async function refreshPreview(){try{
+ let r=await fetch('/preview.png',{cache:'no-cache'});
+ if(r.status==200){let b=await r.blob();
+  let u=URL.createObjectURL(b);img.onload=()=>URL.revokeObjectURL(u);img.src=u}
+ setTimeout(refreshPreview,200)}catch(e){setTimeout(refreshPreview,1000)}}
 refreshPreview();setInterval(refreshState,700);
 img.addEventListener('wheel',e=>{e.preventDefault();
  let a=e.shiftKey&&e.ctrlKey?'look':e.shiftKey?'zoom':e.ctrlKey?'pan':'orbit';
@@ -247,10 +258,22 @@ def make_handler(state: ViewerState):
         def log_message(self, *a):
             pass
 
-        def _send(self, code, body, ctype="application/json"):
+        def _send(self, code, body, ctype="application/json", etag=None):
+            # etag: image-hash cache keying (the reference's canvas cache
+            # is keyed by image hash, render_tab.rs:240-326) — a matching
+            # If-None-Match answers 304 with no body, so pollers pay
+            # nothing while the image is unchanged
+            if etag is not None and self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            if etag is not None:
+                self.send_header("ETag", etag)
+                self.send_header("Cache-Control", "no-cache")
             self.end_headers()
             self.wfile.write(body)
 
@@ -262,14 +285,16 @@ def make_handler(state: ViewerState):
                 elif path == "/state":
                     self._send(200, json.dumps(state.state_json()).encode())
                 elif path == "/preview.png":
-                    self._send(200, state.preview_frame(), "image/png")
+                    png, etag = state.preview_frame()
+                    self._send(200, png, "image/png", etag=etag)
                 elif path == "/render.png":
                     img = state.render_image
                     if img is None:
                         self._send(404, b"{}")
                     else:
                         self._send(
-                            200, _png_bytes(np.power(img, 1 / 2.2)), "image/png"
+                            200, _png_bytes(np.power(img, 1 / 2.2)),
+                            "image/png", etag=f'"{state.render_hash:x}"',
                         )
                 else:
                     self._send(404, b"{}")

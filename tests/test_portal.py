@@ -1,0 +1,312 @@
+"""Portal-deferred mesh tracing (ops.pallas.portal + render.portal).
+
+Validation strategy (the scheduler's PRNG is positional, so image parity is
+statistical and measured on hardware; here we prove the pieces):
+
+1. CONSERVATIVENESS — the load-bearing claim: a segment the portal test does
+   NOT suspend provably cannot hit the heavy mesh, so its cheap-scene hit
+   equals its full-scene hit. Property-tested on random rays vs the XLA
+   intersector on both scenes.
+2. The full-scene resolver (trace_pallas_resolve) is lane-exact vs a manual
+   XLA single-step oracle under injected uniforms at MIXED per-lane depths.
+3. K_cheap freeze semantics: every lane still alive after the call is
+   genuinely portal-blocked; frozen-at-entry lanes kept their state; counts
+   equal the depth advance.
+4. End-to-end: the scheduler retires every issued sample exactly once
+   (rays == npix*spp at max_depth=1) and matches the XLA image at depth 1
+   up to tent-filter jitter.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import path_tracer_tpu as pt
+from path_tracer_tpu.models.scene import pack_scene
+from path_tracer_tpu.ops.intersect import intersect_scene
+from path_tracer_tpu.ops.pallas import portal as portal_mod
+from path_tracer_tpu.ops.pallas import trace_v2
+from path_tracer_tpu.ops.pallas.trace_kernel import (
+    kernel_scene_buffers, trace_pallas_resolve,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh_packed(all_scenes):
+    return pack_scene(all_scenes["mesh"])
+
+
+@pytest.fixture(scope="module")
+def portal_consts(mesh_packed):
+    out = portal_mod.build_portal_consts(mesh_packed)
+    assert out is not None
+    return out
+
+
+def _random_rays(key, n, lo, hi):
+    ko, kd = jax.random.split(key)
+    o = jax.random.uniform(
+        ko, (n, 3), minval=jnp.asarray(lo), maxval=jnp.asarray(hi)
+    )
+    d = jax.random.normal(kd, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    return o.astype(jnp.float32), d.astype(jnp.float32)
+
+
+def test_portal_eligibility(mesh_packed, all_scenes):
+    out = portal_mod.build_portal_consts(mesh_packed)
+    assert out is not None
+    consts, heavy = out
+    prims, bnd, (lo, hi) = consts
+    # cheap scene = 7 wall quads (no heavy-mesh triangles)
+    assert all(p[0] in ("q", "t") or p[0] == "s" for p in prims)
+    assert len(prims) <= 16
+    # cornell (38 kernel prims but no heavy mesh) is NOT eligible
+    assert portal_mod.build_portal_consts(
+        pack_scene(all_scenes["cornell"])) is None
+
+
+def test_portal_conservative_vs_full_scene(mesh_packed, portal_consts):
+    """Non-suspended segments: cheap hit == full hit (the correctness core).
+
+    Also checks the suspension rate is selective (well under half of random
+    segments) — the perf premise."""
+    consts, heavy = portal_consts
+    _, _, (lo, hi) = consts
+
+    full = {k: jnp.asarray(v) for k, v in mesh_packed.buffers().items()}
+    # cheap scene: heavy-mesh triangles forced to guaranteed-miss
+    tm = np.asarray(mesh_packed.tri_mesh)
+    sel = jnp.asarray(
+        (tm == heavy)
+        & (np.arange(tm.shape[0]) < mesh_packed.num_triangles)
+    )
+    cheap = dict(full)
+    cheap["tri_v"] = jnp.where(sel[:, None, None], 1e30, full["tri_v"])
+
+    # random segments across the box (the scene AABB spans the walls)
+    o, d = _random_rays(
+        jax.random.PRNGKey(3), 4096,
+        *(np.asarray(b, np.float32) for b in scene_bounds_mesh(mesh_packed)),
+    )
+
+    hit_full = intersect_scene(o, d, full, mode="fast")
+    hit_cheap = intersect_scene(o, d, cheap, mode="fast")
+
+    # the kernel's portal test, mirrored in numpy
+    lo_a = np.asarray(lo)
+    hi_a = np.asarray(hi)
+    on, dn = np.asarray(o), np.asarray(d)
+    inv = 1.0 / np.where(np.abs(dn) < 1e-30, 1e-30, dn)
+    ta = (lo_a[None] - on) * inv
+    tb = (hi_a[None] - on) * inv
+    t_en = np.maximum.reduce(np.minimum(ta, tb), axis=1)
+    t_ex = np.minimum.reduce(np.maximum(ta, tb), axis=1)
+    blocked = (t_ex >= t_en) & (t_ex > 0.0)
+    t_cheap = np.asarray(hit_cheap.t)
+    suspend = blocked & (t_en <= t_cheap)
+
+    free = ~suspend
+    # every non-suspended segment resolves identically on the cheap scene
+    np.testing.assert_array_equal(
+        np.asarray(hit_full.t)[free], t_cheap[free]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_full.obj)[free], np.asarray(hit_cheap.obj)[free]
+    )
+    # and the portal is selective, not vacuous
+    assert suspend.mean() < 0.5
+    # sanity: some segments DO hit the heavy mesh (tri id within heavy range)
+    hit_heavy = (
+        np.asarray(hit_full.tri) >= 0
+    ) & np.asarray(jnp.take(sel, jnp.maximum(hit_full.tri, 0)))
+    assert hit_heavy.any()
+
+
+def scene_bounds_mesh(packed):
+    verts = np.asarray(packed.tri_v[: packed.num_triangles]).reshape(-1, 3)
+    return verts.min(axis=0), verts.max(axis=0)
+
+
+def test_resolve_lane_exact_vs_xla_single_step(mesh_packed):
+    """trace_pallas_resolve under injected uniforms == a manual XLA bounce
+    with per-lane depths (RR gating per lane)."""
+    from path_tracer_tpu.ops import rng as rng_mod
+    from path_tracer_tpu.ops.bsdf import sample_bsdf
+
+    kscene = kernel_scene_buffers(mesh_packed)
+    scene = {k: jnp.asarray(v) for k, v in mesh_packed.buffers().items()}
+
+    n = 512
+    block = 256
+    lo, hi = scene_bounds_mesh(mesh_packed)
+    o, d = _random_rays(jax.random.PRNGKey(11), n, lo, hi)
+    key = jax.random.PRNGKey(5)
+    u = jax.random.uniform(key, (4, n), dtype=jnp.float32)
+    depth = jax.random.randint(
+        jax.random.PRNGKey(6), (1, n), 0, 12
+    ).astype(jnp.float32)
+    thr = jnp.full((3, n), 0.7, jnp.float32)
+    acc0 = jnp.zeros((3, n), jnp.float32)
+    alive = jnp.ones((1, n), jnp.float32)
+    prev = jnp.full((1, n), -1.0, jnp.float32)
+
+    max_depth, rr_start = 12, 5
+    with pltpu.force_tpu_interpret_mode():
+        ro, rd, rthr, racc, ralive, rprev, rdepth, counts = (
+            trace_pallas_resolve(
+                o.T, d.T, thr, acc0, alive, prev, depth, kscene, 7,
+                max_depth=max_depth, rr_start_depth=rr_start, block=block,
+                uniforms=u,
+            )
+        )
+
+    # ---- XLA oracle: one bounce with per-lane depth ----
+    hit = intersect_scene(o, d, scene, mode="fast",
+                          prev_tri=jnp.full((n,), -1, jnp.int32))
+    found = hit.found
+    nd = jnp.sum(hit.normal * d, axis=-1)
+    nl = jnp.where((nd < 0.0)[:, None], hit.normal, -hit.normal)
+    new_depth = depth[0] + 1.0
+    max_refl = jnp.max(hit.color, axis=-1)
+    rr_applies = new_depth > rr_start
+    survive = (u[0] < max_refl) & (new_depth < max_depth)
+    die_rr = rr_applies & ~survive
+    scale = jnp.where(rr_applies & survive,
+                      1.0 / jnp.maximum(max_refl, 1e-30), 1.0)
+    accx = jnp.where(found[:, None], thr.T * hit.emission, 0.0)
+    bs = sample_bsdf(d, hit.normal, nl, hit.rtype, u[1:4].T)
+    thrx = thr.T * hit.color * scale[:, None] * bs.weight
+    alivex = found & ~die_rr & (new_depth < max_depth) \
+        & (jnp.max(thrx, axis=-1) > 0.0)
+
+    np.testing.assert_allclose(
+        np.asarray(racc).T, np.asarray(accx), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ralive[0]) > 0, np.asarray(alivex)
+    )
+    live = np.asarray(alivex)
+    np.testing.assert_allclose(
+        np.asarray(rthr).T[live], np.asarray(thrx)[live], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rd).T[live], np.asarray(bs.direction)[live], rtol=1e-5,
+        atol=1e-6,
+    )
+    # prev of surviving triangle hits = PACKED id of the hit (quad pairs
+    # collapse to their first triangle's id)
+    tri_ids = np.asarray(hit.tri)
+    quads, covered = __import__(
+        "path_tracer_tpu.ops.pallas.trace_kernel", fromlist=["x"]
+    ).detect_quad_pairs(mesh_packed)
+    canon = {}
+    for first in quads:
+        canon[first + 1] = first
+    exp_prev = np.array(
+        [canon.get(int(t), int(t)) if t >= 0 else -1 for t in tri_ids],
+        np.float32,
+    )
+    sel = live & (tri_ids >= 0)
+    np.testing.assert_array_equal(np.asarray(rprev[0])[sel], exp_prev[sel])
+    # depth advanced for every (initially alive) lane, counts match
+    np.testing.assert_array_equal(
+        np.asarray(rdepth[0]), np.asarray(depth[0]) + 1.0
+    )
+    assert float(jnp.sum(counts)) == n
+
+
+def test_cheap_kernel_freeze_semantics(mesh_packed, portal_consts, all_scenes):
+    """Run K_cheap on primary rays; check every surviving lane is genuinely
+    portal-blocked and the counts equal the total depth advance."""
+    consts, heavy = portal_consts
+    key = "portal:test-mesh"
+    trace_v2.register_scene(key, consts)
+
+    n = 2048  # one block
+    scene_desc = all_scenes["mesh"]
+    from path_tracer_tpu.render.raygen import camera_arrays, generate_rays
+    from path_tracer_tpu.ops import rng as rng_mod
+
+    cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene_desc.camera).items()}
+    w, h = 64, 32
+    pix = jnp.arange(n, dtype=jnp.int32) % (w * h)
+    u = rng_mod.raygen_uniforms(jax.random.PRNGKey(2), (n,), 2)
+    o, d = generate_rays(pix, jnp.zeros((n,), jnp.int32), u, cam, w, h)
+
+    pool = jnp.zeros((portal_mod.ROWS, n), jnp.float32)
+    pool = pool.at[portal_mod.ROW_O:portal_mod.ROW_O + 3].set(o.T)
+    pool = pool.at[portal_mod.ROW_D:portal_mod.ROW_D + 3].set(d.T)
+    pool = pool.at[portal_mod.ROW_THR:portal_mod.ROW_THR + 3].set(1.0)
+    pool = pool.at[portal_mod.ROW_ALIVE].set(1.0)
+    pool = pool.at[portal_mod.ROW_PREV].set(-1.0)
+    pool = pool.at[portal_mod.ROW_PIX].set(pix.astype(jnp.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        out, counts = portal_mod.trace_cheap_blocked(
+            pool, key, 3, max_depth=12, rr_start_depth=5, block=2048
+        )
+
+    out = np.asarray(out)
+    alive = out[portal_mod.ROW_ALIVE] > 0
+    depth_out = out[portal_mod.ROW_DEPTH]
+    assert alive.any() and (~alive).any()
+    # counts == total processed segments == total depth advance
+    assert float(counts) == depth_out.sum()
+    assert (depth_out <= 12).all()
+
+    # every alive (frozen) lane is genuinely blocked: portal slab accepts
+    # its ray no further than its cheap-scene hit
+    _, _, (lo, hi) = consts
+    oo = out[portal_mod.ROW_O:portal_mod.ROW_O + 3].T
+    dd = out[portal_mod.ROW_D:portal_mod.ROW_D + 3].T
+    inv = 1.0 / np.where(np.abs(dd) < 1e-30, 1e-30, dd)
+    ta = (np.asarray(lo)[None] - oo) * inv
+    tb = (np.asarray(hi)[None] - oo) * inv
+    t_en = np.maximum.reduce(np.minimum(ta, tb), axis=1)
+    t_ex = np.minimum.reduce(np.maximum(ta, tb), axis=1)
+    blocked = (t_ex >= t_en) & (t_ex > 0.0)
+    assert blocked[alive].all()
+
+    # frozen pixels kept their pix row; pix row untouched overall
+    np.testing.assert_array_equal(out[portal_mod.ROW_PIX], np.asarray(pix))
+
+    # a frozen-at-entry lane (depth_out == 0, alive) kept o/d exactly
+    frozen0 = alive & (depth_out == 0)
+    if frozen0.any():
+        np.testing.assert_array_equal(oo[frozen0], np.asarray(o)[frozen0])
+        np.testing.assert_array_equal(dd[frozen0], np.asarray(d)[frozen0])
+
+
+def test_portal_render_end_to_end(all_scenes):
+    """Scheduler conservation + depth-1 image parity with the XLA path."""
+    from path_tracer_tpu.render import pipeline
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    scene = all_scenes["mesh"]
+    res = Resolution.from_height(24)
+    spp = 2
+    cfg = RenderConfig(samples_per_pixel=spp, resolution=res,
+                       backend="pallas", max_depth=1)
+    bufs, mode = pipeline.prepare_scene_and_mode(scene, "pallas", res)
+    assert mode.startswith("portal:")
+    with pltpu.force_tpu_interpret_mode():
+        done = pipeline.render(
+            scene, cfg, out_dir=None, device_buffers=bufs, device_mode=mode,
+            verbose=False,
+        )
+    img = np.asarray(done.image.pixels)
+    npix = res.num_pixels
+    assert done.stats.num_rays == npix * spp  # exact conservation @ depth 1
+    assert np.isfinite(img).all() and (img >= 0).all() and (img <= 1).all()
+
+    cfg2 = RenderConfig(samples_per_pixel=spp, resolution=res,
+                        backend="jnp", max_depth=1)
+    done2 = pipeline.render(scene, cfg2, out_dir=None, verbose=False)
+    img2 = np.asarray(done2.image.pixels)
+    # depth 1 = first-hit emission only; differences are tent-filter jitter
+    # at geometry edges under different RNG streams
+    rmse = float(np.sqrt(((img - img2) ** 2).mean()))
+    assert rmse < 0.08, rmse

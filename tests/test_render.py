@@ -94,6 +94,34 @@ def test_checkpoint_resume_bit_exact(all_scenes, tmp_path):
     assert not os.path.exists(ck)  # cleared after completion
 
 
+def test_checkpoint_config_mismatch_warns(all_scenes, tmp_path, capsys):
+    """A checkpoint that no longer matches the run config is IGNORED with a
+    loud warning (a silent restart-from-zero would be a trap)."""
+    ck = str(tmp_path / "ck.npz")
+    cfg = _cfg(16, 16, seed=11).with_(samples_per_pass=4)
+    pt.render(
+        all_scenes["two-spheres"], cfg, out_dir=None, verbose=False,
+        checkpoint_path=ck, checkpoint_every=1,
+        cancel=lambda: True,  # cancel immediately after checkpointing setup
+    )
+    # force at least one checkpoint by running 2 passes
+    calls = {"n": 0}
+    pt.render(
+        all_scenes["two-spheres"], cfg, out_dir=None, verbose=False,
+        checkpoint_path=ck, checkpoint_every=1,
+        cancel=lambda: calls.__setitem__("n", calls["n"] + 1) or calls["n"] > 1,
+    )
+    assert os.path.exists(ck)
+    capsys.readouterr()
+    done = pt.render(
+        all_scenes["two-spheres"], cfg.with_(seed=99), out_dir=None,
+        verbose=False, checkpoint_path=ck,
+    )
+    err = capsys.readouterr().err
+    assert "ignoring checkpoint" in err and "seed" in err
+    assert not done.cancelled
+
+
 def test_ppm_roundtrip(tmp_path):
     g = np.random.default_rng(0)
     pixels = g.uniform(0, 1, (12 * 18, 3)).astype(np.float32)
