@@ -130,8 +130,11 @@ def _select_root(b, det, radius):
 # ---------------------------------------------------------------------------
 
 
-def triangle_distances_exact(o, d, tri_v):
-    """Literal Möller–Trumbore with [R,T,3] intermediates. Returns t [R,T]."""
+def triangle_distances_exact(o, d, tri_v, eps_tri_t: float = EPS_TRI_T):
+    """Literal Möller–Trumbore with [R,T,3] intermediates. Returns t [R,T].
+
+    eps_tri_t = 0.0 gives the reference's literal ``t > 0`` acceptance
+    (mod.rs:592) for the literal-reference estimator mode."""
     a = tri_v[:, 0]
     e1 = tri_v[:, 1] - tri_v[:, 0]
     e2 = tri_v[:, 2] - tri_v[:, 0]
@@ -146,7 +149,7 @@ def triangle_distances_exact(o, d, tri_v):
     v = _dot(d[:, None, :], qvec) * inv_det
     valid &= (v >= 0.0) & (u + v <= 1.0)
     t = _dot(e2[None, :, :], qvec) * inv_det
-    valid &= t > EPS_TRI_T
+    valid &= t > eps_tri_t
     return jnp.where(valid, t, INF)
 
 
@@ -190,7 +193,7 @@ def triangle_coeffs_np(tri_v):
     }
 
 
-def triangle_distances_fast(o, d, coeffs):
+def triangle_distances_fast(o, d, coeffs, eps_tri_t: float = EPS_TRI_T):
     """Matmul form: 6 [R,3]@[3,T] contractions, no [R,T,3] buffers."""
     m = jnp.cross(o, d)  # [R,3]
     det = -_matmul(d, coeffs["n"].T)  # [R,T]
@@ -203,7 +206,7 @@ def triangle_distances_fast(o, d, coeffs):
     u = udet * inv_det
     v = vdet * inv_det
     t = tdet * inv_det
-    valid &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS_TRI_T)
+    valid &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps_tri_t)
     return jnp.where(valid, t, INF)
 
 
@@ -242,7 +245,10 @@ def _read(onehot, table):
     return out[:, 0] if table.ndim == 1 else out
 
 
-def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit:
+def intersect_scene(
+    o, d, scene: dict, mode: str = "fast", prev_tri=None,
+    eps_tri_t: float = EPS_TRI_T,
+) -> Hit:
     """Closest hit of rays (o,d) against a packed scene (ScenePacked.buffers()
     as jnp arrays, optionally with precomputed 'tri_coeffs').
 
@@ -273,9 +279,9 @@ def intersect_scene(o, d, scene: dict, mode: str = "fast", prev_tri=None) -> Hit
         coeffs = scene.get("tri_coeffs")
         if coeffs is None:
             coeffs = triangle_coeffs(scene["tri_v"])
-        t_tri = triangle_distances_fast(o, d, coeffs)
+        t_tri = triangle_distances_fast(o, d, coeffs, eps_tri_t)
     else:
-        t_tri = triangle_distances_exact(o, d, scene["tri_v"])
+        t_tri = triangle_distances_exact(o, d, scene["tri_v"], eps_tri_t)
     t_tri = jnp.where(tri_gate, t_tri, INF)
     if prev_tri is not None:
         T = t_tri.shape[1]

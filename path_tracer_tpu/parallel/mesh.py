@@ -52,6 +52,7 @@ def make_sharded_pass(
     *,
     width: int,
     height: int,
+    k_full: int,
     max_depth: int = 12,
     rr_start_depth: int = 5,
     mode: str = "fast",
@@ -61,17 +62,27 @@ def make_sharded_pass(
     Signature matches pipeline.render's pass_runner:
     (scene_bufs, cam, accum, pass_idx, k_pass, base_key) -> (accum, rays).
     accum is [npix_padded, 3], sharded over dp on axis 0.
+
+    k_full is the FULL pass size (k_full % sp == 0); each call's k_pass may
+    be any value <= k_full (the ragged remainder pass included) — it rides
+    the one compiled program as a RUNTIME limit: regen kernels split it into
+    per-shard runtime quotas, XLA modes mask the samples at index >= limit.
+    The reference honors any spp in [1,10000] (main.rs:157-170); this is the
+    sharded equivalent.
     """
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
+    if k_full % sp:
+        raise ValueError(f"k_full={k_full} must be divisible by sp={sp}")
 
-    def _local_pass(k_pass, scene_bufs, cam, accum_local, pass_idx, base_key):
-        # inside shard_map: accum_local is this device's pixel tile
+    def _local_pass(scene_bufs, cam, accum_local, pass_idx, base_key, limit):
+        # inside shard_map: accum_local is this device's pixel tile;
+        # limit (traced) = valid samples this pass, <= k_full
         npix_local = accum_local.shape[0]
         dp_idx = lax.axis_index("dp")
         sp_idx = lax.axis_index("sp")
 
-        k_local = k_pass // sp
+        k_local = k_full // sp  # static per-shard cap
         pix_base = dp_idx * npix_local
         # decorrelated stream per (pass, dp, sp)
         key = rng.chunk_key(base_key, (pass_idx * sp + sp_idx) * dp + dp_idx)
@@ -79,14 +90,20 @@ def make_sharded_pass(
         if mode.startswith(("pallas3:", "pallasr:")):
             # regenerative kernels do their own raygen from pixel indices, so
             # a dp shard just hands its tile's indices to the kernel; sp
-            # shards split the per-pixel sample quota via sample_base.
+            # shards split the pass's RUNTIME sample count into contiguous
+            # per-shard quotas: shard i gets cnt = limit//sp (+1 for the
+            # first limit%sp shards), starting at its prefix sum.
             pix_local = pix_base + jnp.arange(npix_local, dtype=jnp.int32)
-            sample_base = pass_idx * k_pass + sp_idx * k_local
+            base_cnt = limit // sp
+            rem = limit - base_cnt * sp
+            cnt = base_cnt + (sp_idx < rem).astype(jnp.int32)
+            start = sp_idx * base_cnt + jnp.minimum(sp_idx, rem)
+            sample_base = pass_idx * k_full + start
             if mode.startswith("pallas3:"):
                 scene_key = mode.split(":", 1)[1]
                 rad_sum, rays = integrator.trace_with_kernel_regen(
                     pix_local, scene_key, f"cam:{scene_key}:{width}x{height}",
-                    key, sample_base, quota=k_local, max_depth=max_depth,
+                    key, sample_base, quota=cnt, max_depth=max_depth,
                     rr_start_depth=rr_start_depth,
                 )
             else:
@@ -106,21 +123,21 @@ def make_sharded_pass(
                 seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
                 rad, rays = trace_pallas_regen_prim(
                     pix_k, scene_bufs["kernel"], cam_consts, seed, sample_base,
-                    quota=k_local, max_depth=max_depth,
+                    quota=cnt, max_depth=max_depth,
                     rr_start_depth=rr_start_depth, block=block,
                 )
                 rad_sum, rays = rad[:npix_local], rays.astype(jnp.float32)
             accum_local = accum_local + lax.psum(rad_sum, "sp")
             return accum_local, lax.psum(rays, ("dp", "sp"))
 
+        # XLA modes: static per-shard width k_local; samples whose global
+        # index lands at or beyond the runtime limit trace (cheap, only the
+        # one ragged pass wastes <= sp-1 lanes/pixel) but contribute zero.
+        gid = jnp.arange(k_local, dtype=jnp.int32) + sp_idx * k_local
         pixel_idx = (
             jnp.repeat(jnp.arange(npix_local, dtype=jnp.int32), k_local) + pix_base
         )
-        sample_idx = (
-            jnp.tile(jnp.arange(k_local, dtype=jnp.int32), npix_local)
-            + pass_idx * k_pass
-            + sp_idx * k_local
-        )
+        sample_idx = jnp.tile(gid, npix_local) + pass_idx * k_full
 
         res = integrator.render_samples(
             scene_bufs,
@@ -134,32 +151,34 @@ def make_sharded_pass(
             rr_start_depth=rr_start_depth,
             mode=mode,
         )
-        partial_sum = res.radiance.reshape(npix_local, k_local, 3).sum(axis=1)
+        valid = (gid < limit).astype(jnp.float32)[None, :, None]
+        partial_sum = (
+            res.radiance.reshape(npix_local, k_local, 3) * valid
+        ).sum(axis=1)
         # merge sample shards over ICI; dp tiles stay put
         accum_local = accum_local + lax.psum(partial_sum, "sp")
         rays = lax.psum(res.rays_traced, ("dp", "sp"))
         return accum_local, rays
 
-    @partial(jax.jit, static_argnames=("k_pass",), donate_argnames=("accum",))
-    def pass_fn(scene_bufs, cam, accum, pass_idx, base_key, k_pass: int):
+    @partial(jax.jit, donate_argnames=("accum",))
+    def pass_fn(scene_bufs, cam, accum, pass_idx, base_key, limit):
         sharded = jax.shard_map(
-            partial(_local_pass, k_pass),
+            _local_pass,
             mesh=mesh,
-            in_specs=(P(), P(), P("dp", None), P(), P()),
+            in_specs=(P(), P(), P("dp", None), P(), P(), P()),
             out_specs=(P("dp", None), P()),
             # the integrator's scan carry starts unvarying (fresh zeros) and
             # becomes device-varying after step 1 — skip the static VMA check
             check_vma=False,
         )
-        return sharded(scene_bufs, cam, accum, pass_idx, base_key)
+        return sharded(scene_bufs, cam, accum, pass_idx, base_key, limit)
 
     def runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
-        if k_pass % sp:
-            raise ValueError(
-                f"samples per pass ({k_pass}) must be divisible by sp={sp}"
-            )
+        if k_pass > k_full:
+            raise ValueError(f"k_pass={k_pass} exceeds k_full={k_full}")
         return pass_fn(
-            scene_bufs, cam, accum, jnp.int32(pass_idx), base_key, k_pass
+            scene_bufs, cam, accum, jnp.int32(pass_idx), base_key,
+            jnp.int32(k_pass),
         )
 
     return runner
@@ -194,12 +213,34 @@ def render_sharded(
     # raygen just needs the tile's indices), sp shards split the quota
     scene_bufs, mode = prepare_scene_and_mode(scene, config.backend, res)
 
-    # sample chunking must divide by sp
+    # the scene is host-loaded on every process (deterministic, no
+    # broadcast); refuse to render against divergent inputs
+    from path_tracer_tpu.parallel.distributed import check_scene_consistency
+
+    if not check_scene_consistency(scene):
+        raise RuntimeError(
+            "scene digests differ across hosts — every process must load an "
+            "identical scene (same JSON + meshes) before render_sharded"
+        )
+
+    # full-pass size k: must divide by sp (static shapes); any spp is then
+    # honored exactly via the runtime limit/quota machinery in
+    # make_sharded_pass — no rounding of samples_per_pixel (parity:
+    # main.rs:157-170 honors any spp in [1,10000])
     k = config.samples_per_pass
     if not k:
         if mode.startswith(("pallas3:", "pallasr:")):
-            # per-shard quota capped at 256 (same as the single-device path)
-            k = min(config.samples_per_pixel, 256 * sp)
+            # per-shard runtime quota capped by the kernel's static bound
+            from path_tracer_tpu.ops.pallas.trace_kernel import (
+                QUOTA_CAP_PRIM,
+                QUOTA_CAP_STATIC,
+            )
+
+            cap = (
+                QUOTA_CAP_STATIC if mode.startswith("pallas3:")
+                else QUOTA_CAP_PRIM
+            )
+            k = min(config.samples_per_pixel, cap * sp)
         else:
             from path_tracer_tpu.render.pipeline import (
                 DEFAULT_LANE_BUDGET,
@@ -210,18 +251,14 @@ def render_sharded(
                 npix_pad, config.samples_per_pixel, DEFAULT_LANE_BUDGET
             )
     k = max(_round_up(k, sp), sp)
-    spp = _round_up(config.samples_per_pixel, k)  # whole passes only
-    if spp != config.samples_per_pixel and kw.get("verbose", True):
-        print(
-            f"render_sharded: samples_per_pixel rounded {config.samples_per_pixel}"
-            f" -> {spp} (whole passes of {k} across sp={sp} shards)"
-        )
-    config = config.with_(samples_per_pass=k, samples_per_pixel=spp)
+    k = min(k, _round_up(config.samples_per_pixel, sp))
+    config = config.with_(samples_per_pass=k)
 
     runner = make_sharded_pass(
         mesh,
         width=res.width,
         height=res.height,
+        k_full=k,
         max_depth=config.max_depth,
         rr_start_depth=config.rr_start_depth,
         mode=mode,

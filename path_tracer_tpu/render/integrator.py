@@ -32,7 +32,7 @@ from jax import lax
 
 from path_tracer_tpu.ops import rng
 from path_tracer_tpu.ops.bsdf import sample_bsdf
-from path_tracer_tpu.ops.intersect import intersect_scene
+from path_tracer_tpu.ops.intersect import EPS_TRI_T, intersect_scene
 
 
 class TraceResult(NamedTuple):
@@ -51,12 +51,20 @@ def trace(
     mode: str = "fast",
     unroll: int = 1,
     mock_random: bool = False,
+    literal: bool = False,
 ) -> TraceResult:
     """Trace a batch of rays to completion. o, d: [N,3] f32.
 
     mock_random: replace threefry with the reference's fixed 9-value cycle
     (MOCK_RANDOM fixture, mod.rs:31-55) — draws are a pure function of
     (lane, bounce, slot), giving bit-deterministic renders for debugging.
+    literal: use the reference's LITERAL triangle acceptance (``t > 0``,
+    mod.rs:592, no departed-triangle exclusion) instead of the shipped
+    ``t > EPS_TRI_T`` + prev-exclusion estimator. This reproduces the
+    reference's phantom self-re-hits (the ray re-hits the surface it just
+    left whenever roundoff puts the new origin behind the plane) — kept so
+    the shipped-vs-reference estimator difference can be *quantified*
+    (PARITY_REPORT.md) rather than argued.
     """
     n = o.shape[0]
     thr = jnp.ones((n, 3), jnp.float32)
@@ -68,7 +76,11 @@ def trace(
         o, d, thr, acc, alive, prev_tri = carry
         n_alive = jnp.sum(alive.astype(jnp.int32))
 
-        hit = intersect_scene(o, d, scene, mode=mode, prev_tri=prev_tri)
+        hit = intersect_scene(
+            o, d, scene, mode=mode,
+            prev_tri=None if literal else prev_tri,
+            eps_tri_t=0.0 if literal else EPS_TRI_T,
+        )
         found = hit.found & alive
 
         nd = jnp.sum(hit.normal * d, axis=-1)
@@ -133,6 +145,7 @@ def render_samples(
     rr_start_depth: int = 5,
     mode: str = "fast",
     mock_random: bool = False,
+    literal: bool = False,
 ) -> TraceResult:
     """Generate camera rays for (pixel, sample) pairs and trace them."""
     from path_tracer_tpu.render.raygen import generate_rays
@@ -143,6 +156,11 @@ def render_samples(
     else:
         u = rng.raygen_uniforms(key, (pixel_idx.shape[0],), 2)
     o, d = generate_rays(pixel_idx, sample_idx, u, cam, width, height)
+    if literal and (mode.startswith("pallas") or mode == "pallas"):
+        raise ValueError(
+            "literal estimator mode is XLA-only (backend exact/fast); the "
+            "Pallas kernels bake the shipped EPS_TRI_T semantics"
+        )
     if mode.startswith("pallas2:"):
         return trace_with_kernel_v2(
             o, d, mode.split(":", 1)[1], key,
@@ -162,6 +180,7 @@ def render_samples(
         rr_start_depth=rr_start_depth,
         mode=mode,
         mock_random=mock_random,
+        literal=literal,
     )
 
 
@@ -245,6 +264,7 @@ def trace_with_kernel(o, d, kscene, key, *, max_depth=12, rr_start_depth=5):
         "mode",
         "mock_random",
         "pixel_chunk",
+        "literal",
     ),
     donate_argnames=("accum",),
 )
@@ -267,6 +287,7 @@ def render_pass(
     pixel_chunk: int = 0,
     chunk_start=None,
     quota_rt=None,
+    literal: bool = False,
 ):
     """One device dispatch: all pixels × samples_in_pass samples.
 
@@ -345,6 +366,7 @@ def render_pass(
             scene, cam, pixel_idx, sample_idx, key,
             width=width, height=height, max_depth=max_depth,
             rr_start_depth=rr_start_depth, mode=mode, mock_random=mock_random,
+            literal=literal,
         )
         rad = result.radiance.reshape(pixel_chunk, k, 3).sum(axis=1)
         acc_c = jax.lax.dynamic_slice(accum, (chunk_start, 0), (pixel_chunk, 3))
@@ -366,6 +388,7 @@ def render_pass(
         rr_start_depth=rr_start_depth,
         mode=mode,
         mock_random=mock_random,
+        literal=literal,
     )
     accum = accum + result.radiance.reshape(npix, k, 3).sum(axis=1)
     return accum, result.rays_traced

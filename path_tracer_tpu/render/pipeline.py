@@ -241,12 +241,20 @@ def render(
             f"{spp} samples per pixel, {res.width}x{res.height} resolution"
         )
 
+    literal = config.estimator == "literal"
     t_start = time.perf_counter()
     if device_buffers is not None:
         scene_bufs = device_buffers
         if device_mode is not None:
             mode = device_mode
-    elif config.mock_random:
+        if literal and mode not in ("fast", "exact"):
+            raise ValueError(
+                "estimator='literal' needs an XLA mode (fast/exact); got "
+                f"device_mode={mode!r}"
+            )
+    elif config.mock_random or literal:
+        # both are XLA-only semantics switches: the Pallas kernels bake the
+        # shipped estimator (EPS_TRI_T + prev-exclusion) and threefry/HW PRNG
         mode = "fast" if mode not in ("fast", "exact") else mode
         scene_bufs = prepare_scene(scene, mode)
     else:
@@ -341,6 +349,22 @@ def render(
         if accum_init is not None
         else jnp.zeros((npix_pad, 3), jnp.float32)
     )
+    # sharded accum (render_sharded): checkpoints must gather the global
+    # value (multi-host: np.asarray on a non-addressable array would throw)
+    # and restores must re-shard it
+    accum_sharding = getattr(accum, "sharding", None)
+
+    def accum_to_host(a) -> np.ndarray:
+        from path_tracer_tpu.parallel.distributed import assemble_image
+
+        return assemble_image(a)
+
+    def host_to_accum(a_np: np.ndarray):
+        if accum_sharding is None or jax.process_count() == 1:
+            return jax.device_put(jnp.asarray(a_np), accum_sharding)
+        return jax.make_array_from_callback(
+            a_np.shape, accum_sharding, lambda idx: a_np[idx]
+        )
     samples_done = 0
     pass_start = 0
     stats = RenderStats()
@@ -360,7 +384,7 @@ def render(
                 f"accum rows {ck['accum'].shape[0]} != {npix_pad} (chunking)"
             )
         if not mismatches:
-            accum = jnp.asarray(ck["accum"])
+            accum = host_to_accum(ck["accum"])
             samples_done = int(ck["samples_done"])
             pass_start = int(ck["next_pass"])
             stats.num_rays = int(ck["num_rays"])
@@ -408,6 +432,7 @@ def render(
                 pixel_chunk=chunk,
                 chunk_start=jnp.int32(c * chunk) if chunk else None,
                 quota_rt=jnp.int32(k_pass) if regen_mode else None,
+                literal=literal,
             )
             rays = rays + r
         return accum, rays
@@ -482,7 +507,7 @@ def render(
             accum.block_until_ready()
             np.savez(
                 checkpoint_path,
-                accum=np.asarray(accum),
+                accum=accum_to_host(accum),
                 samples_done=samples_done,
                 next_pass=pass_idx + 1,
                 seed=config.seed,
@@ -500,7 +525,7 @@ def render(
     duration = time.perf_counter() - t_start
     stats.wall_seconds = duration
 
-    image = Image.new(unpermute(np.asarray(final)[:npix]), res)
+    image = Image.new(unpermute(accum_to_host(final)[:npix]), res)
     if verbose:
         print("Rendering complete" if not cancelled else "Rendering cancelled")
 

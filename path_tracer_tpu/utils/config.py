@@ -51,6 +51,13 @@ class RenderConfig:
     # cycle instead of threefry; XLA backends only
     mock_random: bool = False
 
+    # Estimator semantics: "shipped" = t > EPS_TRI_T + departed-triangle
+    # exclusion (documented deviation, ops.intersect EPS_TRI_T comment);
+    # "literal" = the reference's exact t > 0 acceptance (mod.rs:592),
+    # phantom self-re-hits included. Literal is XLA-only (backend exact /
+    # fast) and exists to quantify the deviation — see PARITY_REPORT.md.
+    estimator: str = "shipped"
+
     # Execution
     backend: str = "auto"  # auto | jnp | mxu | pallas | exact | fast
     samples_per_pass: int = 0  # 0 = auto-pick from HBM budget
@@ -62,6 +69,10 @@ class RenderConfig:
     validate: bool = False  # enforce GUI ranges
 
     def validated(self) -> "RenderConfig":
+        if self.estimator not in ("shipped", "literal"):
+            raise ValueError(
+                f"estimator must be 'shipped' or 'literal', got {self.estimator!r}"
+            )
         if self.validate:
             if not RES_Y_RANGE[0] <= self.resolution.height <= RES_Y_RANGE[1]:
                 raise ValueError(

@@ -144,3 +144,47 @@ def test_wavefront_matches_recursive_oracle(all_scenes, ray):
     sem = std / np.sqrt(30_000)
     tol = 4.0 * np.sqrt(ref_sem**2 + sem**2) + 0.01
     assert np.all(np.abs(mean - ref_mean) < tol), (mean, ref_mean, tol)
+
+
+def test_literal_estimator_differs(all_scenes):
+    """estimator='literal' reproduces the reference's t>0 acceptance
+    (mod.rs:592). Its phantom self-re-hits make the estimate a function of
+    f32 rounding — measured BRIGHTER on CPU arithmetic, darker on TPU (see
+    PARITY_REPORT.md). This CPU test pins the CPU-arithmetic direction
+    (brighter, ~+45% on this back-wall ray) so the literal switch is known
+    to actually change the acceptance rule."""
+    scene = all_scenes["cornell"]
+    bufs = _bufs(scene)
+    n = 20_000
+    o = jnp.tile(jnp.asarray([0.0, -0.2, 7.8], jnp.float32)[None], (n, 1))
+    d = jnp.tile(jnp.asarray([0.0, 0.0, -1.0], jnp.float32)[None], (n, 1))
+    ship = trace(o, d, bufs, jax.random.PRNGKey(3)).radiance
+    lit = trace(o, d, bufs, jax.random.PRNGKey(3), literal=True).radiance
+    m_ship = float(np.asarray(ship).mean())
+    m_lit = float(np.asarray(lit).mean())
+    sem = float(np.asarray(lit).std()) / np.sqrt(n)
+    assert m_lit > m_ship + 3 * sem, (m_ship, m_lit, sem)
+
+
+def test_literal_estimator_via_render_config(all_scenes, tmp_path):
+    """estimator='literal' works end-to-end through render() and rejects
+    Pallas modes (which bake the shipped semantics)."""
+    from path_tracer_tpu.render.pipeline import render
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    scene = all_scenes["cornell"]
+    cfg = RenderConfig(
+        samples_per_pixel=4, resolution=Resolution(16, 24),
+        estimator="literal", seed=7,
+    )
+    done = render(scene, cfg, out_dir=None, verbose=False)
+    grid = done.image.to_grid()
+    assert np.isfinite(grid).all() and grid.max() > 0.1
+
+    with pytest.raises(ValueError, match="literal"):
+        render(
+            scene, cfg, out_dir=None, verbose=False,
+            device_buffers={}, device_mode="pallas3:x",
+        )
+    with pytest.raises(ValueError, match="estimator"):
+        RenderConfig(estimator="typo").validated()
