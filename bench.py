@@ -97,9 +97,25 @@ def main():
         raise RuntimeError(f"implausible bench timing ({wall*1e3:.3f} ms)")
 
     mrays = total_rays / wall / 1e6
+
+    # VPU roofline (VERDICT r1 #5): essential f32 arithmetic per traced
+    # segment, counted from the kernel's own components by jaxpr walk
+    # (scripts/count_flops.py; compares/selects/casts excluded, so this is
+    # a LOWER bound on VPU occupancy). Peak assumes a v5e TensorCore VPU:
+    # (8,128) lanes x 4 ALUs x 2 flops (FMA) x 1.5 GHz = 12.3 TFLOP/s f32.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.count_flops import flops_per_segment
+
+    VPU_PEAK_F32 = 8 * 128 * 4 * 2 * 1.5e9
+    fps = flops_per_segment(scene)["total"]
+    useful = mrays * 1e6 * fps
+    mfu = useful / VPU_PEAK_F32
+
     print(
         f"cornell {width}x{height} @ {n_passes * k} spp: {wall:.2f}s, "
-        f"{total_samples / wall / 1e6:.1f} Msamples/s, {mrays:.1f} Mrays/s",
+        f"{total_samples / wall / 1e6:.1f} Msamples/s, {mrays:.1f} Mrays/s, "
+        f"{fps:.0f} flops/seg -> {useful / 1e12:.2f} TFLOP/s useful "
+        f"= {mfu * 100:.1f}% of VPU peak",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -107,6 +123,9 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / 1000.0, 4),
+        "flops_per_ray": fps,
+        "useful_tflops": round(useful / 1e12, 3),
+        "mfu": round(mfu, 4),
     }))
 
 

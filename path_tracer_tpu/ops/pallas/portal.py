@@ -46,7 +46,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.models.scene import ScenePacked
-from path_tracer_tpu.ops.pallas.trace_kernel import _uniform, shade_phase
+from path_tracer_tpu.ops.pallas.trace_kernel import (
+    _uniform, make_raygen, shade_phase,
+)
 from path_tracer_tpu.ops.pallas.trace_v2 import (
     SUB, _SCENES, f, build_scene_consts, make_prim_scan, register_scene,
 )
@@ -68,6 +70,14 @@ ROW_PREV = 13
 ROW_DEPTH = 14
 ROW_PIX = 15
 ROWS = 16
+
+# v2 (pixel-pinned) pool: same first 15 rows, plus the slot's completed-
+# sample count. The pixel needs no row — slot index IS the pixel, which is
+# what eliminates the v1 scheduler's argsort-compaction and scatter-add
+# retirement (62 + 117 ms per 1M-lane cycle, scripts/profile_portal.py).
+V2_ROW_DONE = 15
+V2_ROW_PIX = 16  # still carried: per-block raygen needs lane-shaped indices
+V2_ROWS = 17
 
 
 def build_portal_consts(packed: ScenePacked):
@@ -243,6 +253,223 @@ def _make_kernel_cheap(consts, L, max_depth, rr_start_depth):
         count_ref[0] = counts
 
     return kernel
+
+
+def _make_kernel_cheap_regen(
+    consts, cam_consts, L, max_depth, rr_start_depth, unroll
+):
+    """v2 cheap kernel: portal freeze + IN-KERNEL REGENERATION on a
+    pixel-pinned pool ([V2_ROWS, SUB, L] blocks; slot index == pixel).
+
+    Each lane advances its slot's current path; when a path dies the lane
+    immediately starts the slot's next sample (same raygen as regen_loop —
+    shared make_raygen) until `quota` samples are done; when a segment could
+    hit the heavy mesh the lane freezes with state intact (alive stays 1,
+    the deterministic portal test re-marks it every later step). The kernel
+    exits when no lane can advance: every lane is frozen or quota-done.
+    acc/done accumulate IN THE POOL across calls — the scheduler never
+    scatters or compacts (see render.portal).
+    """
+    prims, bnd, (lo, hi) = consts
+    prim_scan = make_prim_scan(prims, bnd)
+
+    def kernel(seed_ref, state_ref, out_ref, count_ref):
+        pltpu.prng_seed(
+            seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
+        )
+        quota = seed_ref[0, 1].astype(jnp.float32)
+        sample_base = seed_ref[0, 2].astype(jnp.float32)
+
+        pix = state_ref[V2_ROW_PIX]
+        raygen, (lcx, lcy, lcz) = make_raygen(cam_consts, pix)
+
+        def portal_blocked(o, d, alive):
+            t_en = jnp.zeros_like(o[0])
+            t_ex = jnp.full_like(o[0], BIG)
+            for k in range(3):
+                inv = 1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+                ta = (lo[k] - o[k]) * inv
+                tb = (hi[k] - o[k]) * inv
+                t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+                t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+            return (t_ex >= t_en) & (t_ex > 0.0) & alive, t_en
+
+        def active(st):
+            st = dict(st)
+            u = _uniform((6 * SUB, L))
+            u = [u[k * SUB:(k + 1) * SUB] for k in range(6)]
+
+            # regenerate: dead lanes with samples left start the next one
+            need = (st["alive"] <= 0.0) & (st["done"] < quota)
+            d_new = raygen(sample_base + st["done"], u[4], u[5])
+            for k, lc in enumerate((lcx, lcy, lcz)):
+                st["o"][k] = jnp.where(need, lc, st["o"][k])
+                st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
+                st["thr"][k] = jnp.where(need, 1.0, st["thr"][k])
+            st["prev"] = jnp.where(need, -1.0, st["prev"])
+            st["depth"] = jnp.where(need, 0.0, st["depth"])
+            st["alive"] = jnp.where(need, 1.0, st["alive"])
+
+            live = st["alive"] > 0.0
+            hit_box, t_en = portal_blocked(st["o"], st["d"], live)
+            tmin, h_color, h_emis, h_aux, h_rtype, h_sph, h_prev = prim_scan(
+                st["o"], st["d"], st["prev"]
+            )
+            needs = hit_box & (t_en <= tmin)  # ties suspend (conservative)
+            proc = live & ~needs
+            st["counts"] = st["counts"] + proc.astype(jnp.float32)
+
+            found = (tmin < BIG) & proc
+            point = [st["o"][k] + st["d"][k] * tmin for k in range(3)]
+            sn = [point[k] - h_aux[k] for k in range(3)]
+            sl = jax.lax.rsqrt(
+                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+            )
+            sph_w = h_sph > 0.5
+            nrm = [jnp.where(sph_w, sn[k] * sl, h_aux[k]) for k in range(3)]
+            new_prev = jnp.where(found, h_prev, -1.0)
+
+            new_depth = st["depth"] + 1.0
+            acc, thr_new, d2, alive_new = shade_phase(
+                st["d"], nrm, h_color, h_emis, h_rtype, found,
+                st["thr"], st["acc"], u[:4],
+                new_depth, max_depth, rr_start_depth,
+            )
+            # alive_new ⊆ found ⊆ proc: frozen lanes keep their full state
+            # via the needs-selects; processed lanes advance
+            am = alive_new.astype(jnp.float32)
+            ended = proc & ~alive_new
+            st["done"] = st["done"] + ended.astype(jnp.float32)
+            st["acc"] = acc  # shade_phase only adds for found ⊆ proc lanes
+            st["o"] = [
+                jnp.where(alive_new, point[k], st["o"][k]) for k in range(3)
+            ]
+            st["d"] = [
+                jnp.where(alive_new, d2[k], st["d"][k]) for k in range(3)
+            ]
+            st["thr"] = [
+                jnp.where(needs, st["thr"][k], thr_new[k] * am)
+                for k in range(3)
+            ]
+            st["prev"] = jnp.where(needs, st["prev"], new_prev)
+            st["alive"] = jnp.where(needs, st["alive"], am)
+            st["depth"] = jnp.where(needs, st["depth"], new_depth * am)
+            # frozen marker for the NEXT loop-condition check (cheap: the
+            # portal test is deterministic on unchanged o/d, so a frozen
+            # lane stays frozen until the resolver moves it)
+            st["frozen"] = jnp.where(live, needs.astype(jnp.float32), 0.0)
+            return st
+
+        o = [state_ref[ROW_O + k] for k in range(3)]
+        d = [state_ref[ROW_D + k] for k in range(3)]
+        thr = [state_ref[ROW_THR + k] for k in range(3)]
+        acc = [state_ref[ROW_ACC + k] for k in range(3)]
+        # non-foldable zero (Mosaic: constant carries + PRNG updates crash)
+        zero = jnp.minimum(_uniform((SUB, L)) * 0.0, 0.0)
+        state = {
+            "o": o, "d": d, "thr": thr, "acc": acc,
+            "alive": state_ref[ROW_ALIVE],
+            "prev": state_ref[ROW_PREV],
+            "depth": state_ref[ROW_DEPTH],
+            "done": state_ref[V2_ROW_DONE],
+            "counts": zero,
+            "frozen": zero,  # conservatively 0: first check runs the body
+        }
+
+        def not_done(carry):
+            i, st = carry
+            runnable = jnp.where(
+                st["alive"] > 0.0,
+                1.0 - st["frozen"],
+                jnp.where(st["done"] < quota, 1.0, 0.0),
+            )
+            return (i.astype(jnp.float32) < quota * max_depth + 8.0) & (
+                _fold_lanes(runnable) > 0.0
+            )
+
+        def wstep(carry):
+            i, st = carry
+            for _ in range(unroll):
+                st = active(st)
+            return (i + unroll, st)
+
+        _, st = jax.lax.while_loop(not_done, wstep, (jnp.int32(0), state))
+
+        for k in range(3):
+            out_ref[ROW_O + k] = st["o"][k]
+            out_ref[ROW_D + k] = st["d"][k]
+            out_ref[ROW_THR + k] = st["thr"][k]
+            out_ref[ROW_ACC + k] = st["acc"][k]
+        out_ref[ROW_ALIVE] = st["alive"]
+        out_ref[ROW_PREV] = st["prev"]
+        out_ref[ROW_DEPTH] = st["depth"]
+        out_ref[V2_ROW_DONE] = st["done"]
+        out_ref[V2_ROW_PIX] = pix
+        count_ref[0] = st["counts"]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "portal_key", "cam_key", "max_depth", "rr_start_depth", "block",
+        "unroll",
+    ),
+    donate_argnums=(0,),
+)
+def trace_cheap_regen(
+    pool,
+    portal_key: str,
+    cam_key: str,
+    seed,
+    quota,
+    sample_base,
+    *,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 2048,
+    unroll: int = 8,
+):
+    """Advance the pixel-pinned pool: every lane runs cheap-scene bounces
+    with in-kernel regeneration until it is frozen at the portal or has
+    finished `quota` samples (both runtime scalars). pool: [V2_ROWS, n] f32,
+    n % block == 0. Returns (pool', rays_traced). After this call
+    alive == frozen."""
+    consts = _SCENES[portal_key]
+    cam_consts = _SCENES[cam_key]
+    n = pool.shape[1]
+    if n % block or block % SUB:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    L = block // SUB
+    rows8 = n // L
+    kernel = _make_kernel_cheap_regen(
+        consts, cam_consts, L, max_depth, rr_start_depth, unroll
+    )
+
+    def rspec(k):
+        return pl.BlockSpec((k, SUB, L), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out, counts = pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rspec(V2_ROWS)],
+        out_specs=(rspec(V2_ROWS), rspec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((V2_ROWS, rows8, L), jnp.float32),
+            jax.ShapeDtypeStruct((1, rows8, L), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+    )(
+        jnp.stack([
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(quota, jnp.int32),
+            jnp.asarray(sample_base, jnp.int32),
+        ]).reshape(1, 3),
+        pool.reshape(V2_ROWS, rows8, L),
+    )
+    return out.reshape(V2_ROWS, n), jnp.sum(counts)
 
 
 @functools.partial(

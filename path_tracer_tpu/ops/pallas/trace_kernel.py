@@ -899,28 +899,16 @@ def _scalar_any_left(done, quota):
     return jnp.sum(left)
 
 
-def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
-               rr_start_depth, loop="fori", sync_every=None, quota_cap=None):
-    """Shape-agnostic regenerative main loop, shared by the static-scene
-    (trace_v2, (8,L) lanes) and prim-major ((1,B) lanes) kernels: each lane
-    owns one pixel, traces `quota` full samples with in-kernel raygen
-    (restarting the moment a path dies), and exits early once every lane in
-    the block finished its quota. Per-pixel sample counts are exact — no
-    length-biased partial samples are ever counted.
+def make_raygen(cam_consts, pix):
+    """In-kernel camera sampling for regenerative kernels: pixel index →
+    tent-filtered subpixel ray (reference semantics, mod.rs:826-846 — see
+    render.raygen for the host-side equivalent).
 
-    pix: lane-shaped f32 pixel indices; isect(o, d, prev, alive) → (found,
-    point, nrm, color, emis, rtype, new_prev); draw(n) → n lane-shaped
-    uniforms (must consume the PRNG — carries initialized from constants
-    crash Mosaic layout inference, so the zero seed derives from a draw).
-    Returns (acc3, counts).
-
-    quota may be a TRACED scalar (runtime samples-per-lane) when quota_cap
-    gives the static loop bound — one compiled kernel then serves every
-    spp <= quota_cap (the early-exit cond skips the unused tail). With
-    quota_cap=None the loop bound is the (then static) quota itself.
-    """
-    if quota_cap is None:
-        quota_cap = quota
+    pix: lane-shaped f32 pixel indices. Returns (raygen, lens_center3) where
+    raygen(s_idx, u1, u2) → direction3 for global sample index s_idx (the
+    2x2 subpixel grid cycles s_idx mod 4). Shared by regen_loop and the
+    portal cheap kernel — ONE definition so the sampling semantics cannot
+    drift between them."""
     (sox, soy, soz), su, sv, (lcx, lcy, lcz), W, H = cam_consts
     inv_w = float(np.float32(1.0 / W))
     inv_h = float(np.float32(1.0 / H))
@@ -953,6 +941,33 @@ def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
         dx, dy, dz = lcx - spx, lcy - spy, lcz - spz
         dl = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
         return [dx * dl, dy * dl, dz * dl]
+
+    return raygen, (lcx, lcy, lcz)
+
+
+def regen_loop(sample_base, pix, isect, draw, cam_consts, quota, max_depth,
+               rr_start_depth, loop="fori", sync_every=None, quota_cap=None):
+    """Shape-agnostic regenerative main loop, shared by the static-scene
+    (trace_v2, (8,L) lanes) and prim-major ((1,B) lanes) kernels: each lane
+    owns one pixel, traces `quota` full samples with in-kernel raygen
+    (restarting the moment a path dies), and exits early once every lane in
+    the block finished its quota. Per-pixel sample counts are exact — no
+    length-biased partial samples are ever counted.
+
+    pix: lane-shaped f32 pixel indices; isect(o, d, prev, alive) → (found,
+    point, nrm, color, emis, rtype, new_prev); draw(n) → n lane-shaped
+    uniforms (must consume the PRNG — carries initialized from constants
+    crash Mosaic layout inference, so the zero seed derives from a draw).
+    Returns (acc3, counts).
+
+    quota may be a TRACED scalar (runtime samples-per-lane) when quota_cap
+    gives the static loop bound — one compiled kernel then serves every
+    spp <= quota_cap (the early-exit cond skips the unused tail). With
+    quota_cap=None the loop bound is the (then static) quota itself.
+    """
+    if quota_cap is None:
+        quota_cap = quota
+    raygen, (lcx, lcy, lcz) = make_raygen(cam_consts, pix)
 
     # non-foldable zero (Mosaic: constant carries + PRNG updates crash)
     zero = jnp.minimum(draw(1)[0] * 0.0, 0.0)

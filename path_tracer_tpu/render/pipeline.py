@@ -126,13 +126,19 @@ def prepare_scene_and_mode(
                     objs_json.encode()
                 ).hexdigest()[:16]
                 trace_v2.register_scene(pkey, portal_consts)
+                # the v2 cheap kernel regenerates samples in-kernel → needs
+                # the camera raygen consts under a resolution-scoped key
+                trace_v2.register_scene(
+                    f"{pkey}:cam:{w}x{h}",
+                    trace_v2.build_camera_consts(scene.camera, w, h),
+                )
                 if "kernel" not in bufs:
                     from path_tracer_tpu.ops.pallas.trace_kernel import (
                         kernel_scene_buffers,
                     )
 
                     bufs["kernel"] = kernel_scene_buffers(packed)
-                mode = pkey
+                mode = f"{pkey}@{w}x{h}"
             else:
                 cam_key = f"camr:{cam_digest}:{w}x{h}"
                 trace_v2.register_scene(
@@ -304,17 +310,35 @@ def render(
     full_passes, remainder = divmod(spp, k)
 
     if pass_runner is None and mode.startswith("portal:"):
-        from path_tracer_tpu.render.portal import make_portal_pass_runner
+        pkey = mode.split("@", 1)[0]
+        if "@" in mode and not os.environ.get("PT_TPU_PORTAL_V1"):
+            # v2: pixel-pinned pool (no compaction/scatter — see
+            # render.portal). The cam key is registered by
+            # prepare_scene_and_mode for exactly this resolution.
+            from path_tracer_tpu.render.portal import (
+                make_portal_pass_runner_v2,
+            )
 
-        pass_runner = make_portal_pass_runner(
-            portal_key=mode,
-            npix=npix,
-            width=res.width,
-            height=res.height,
-            k_full=k,
-            max_depth=config.max_depth,
-            rr_start_depth=config.rr_start_depth,
-        )
+            pass_runner = make_portal_pass_runner_v2(
+                portal_key=pkey,
+                cam_key=f"{pkey}:cam:{res.width}x{res.height}",
+                npix=npix,
+                k_full=k,
+                max_depth=config.max_depth,
+                rr_start_depth=config.rr_start_depth,
+            )
+        else:
+            from path_tracer_tpu.render.portal import make_portal_pass_runner
+
+            pass_runner = make_portal_pass_runner(
+                portal_key=pkey,
+                npix=npix,
+                width=res.width,
+                height=res.height,
+                k_full=k,
+                max_depth=config.max_depth,
+                rr_start_depth=config.rr_start_depth,
+            )
 
     # pixel chunking: when even one sample/pixel exceeds the lane budget
     # (full-res renders of triangle-heavy scenes in the XLA modes), split

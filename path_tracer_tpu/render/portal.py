@@ -30,7 +30,8 @@ import numpy as np
 from path_tracer_tpu.ops import rng
 from path_tracer_tpu.ops.pallas.portal import (
     ROW_ACC, ROW_ALIVE, ROW_D, ROW_DEPTH, ROW_O, ROW_PIX, ROW_PREV, ROW_THR,
-    ROWS, trace_cheap_blocked,
+    ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROWS, trace_cheap_blocked,
+    trace_cheap_regen,
 )
 from path_tracer_tpu.ops.pallas.trace_kernel import trace_pallas_resolve
 
@@ -207,6 +208,238 @@ def make_portal_pass_runner(
                     f"portal scheduler stalled: {int(np.asarray(retired))}"
                     f"/{total} samples retired after {cycle_idx} cycles"
                 )
+        return accum, rays
+
+    return pass_runner
+
+
+# ---------------------------------------------------------------------------
+# v2: pixel-pinned pool — slot index IS the pixel. No compaction, no
+# scatter-add, no refill op: regeneration happens in-kernel (the regen-loop
+# discipline), retirement is one vectorized row-add at pass end. Profile of
+# the v1 cycle that motivated this (scripts/profile_portal.py, 1M lanes):
+# argsort-compaction 62 ms + scatter-retire 117 ms + cumsum-refill 27 ms per
+# cycle — all three are gone here.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "portal_key", "cam_key", "max_depth", "rr_start_depth",
+    ),
+    donate_argnums=(0,),
+)
+def portal_cycle_v2(
+    pool,
+    quota,
+    sample_base,
+    cycle_seed,
+    kscene: dict,
+    *,
+    portal_key: str,
+    cam_key: str,
+    max_depth: int,
+    rr_start_depth: int,
+):
+    """One v2 cycle: cheap-advance-with-regen until every lane is frozen or
+    quota-done, then one full-scene resolve bounce over the (uncompacted)
+    pool masked by alive==frozen. Returns (pool', rays, unfinished)."""
+    pool, c1 = trace_cheap_regen(
+        pool, portal_key, cam_key, cycle_seed, quota, sample_base,
+        max_depth=max_depth, rr_start_depth=rr_start_depth,
+        block=CHEAP_BLOCK,
+    )
+    alive_before = pool[ROW_ALIVE]
+    o, d, thr, acc, alive, prev, depth, c2 = trace_pallas_resolve(
+        pool[ROW_O:ROW_O + 3], pool[ROW_D:ROW_D + 3],
+        pool[ROW_THR:ROW_THR + 3], pool[ROW_ACC:ROW_ACC + 3],
+        pool[ROW_ALIVE:ROW_ALIVE + 1], pool[ROW_PREV:ROW_PREV + 1],
+        pool[ROW_DEPTH:ROW_DEPTH + 1],
+        kscene, cycle_seed + jnp.int32(1),
+        max_depth=max_depth, rr_start_depth=rr_start_depth,
+        block=RESOLVE_BLOCK,
+    )
+    # a path the resolver ended retires in place: its slot's done count
+    # bumps and the lane regenerates in the next cheap call
+    ended = (alive_before > 0.0) & (alive[0] <= 0.0)
+    done = pool[V2_ROW_DONE] + ended.astype(jnp.float32)
+    pool = jnp.concatenate(
+        [o, d, thr, acc, alive, prev, depth, done[None],
+         pool[V2_ROW_PIX:V2_ROW_PIX + 1]],
+        axis=0,
+    )
+    quota_f = quota.astype(jnp.float32)
+    unfinished = jnp.sum((done < quota_f).astype(jnp.float32))
+    return pool, c1 + jnp.sum(c2), unfinished
+
+
+# tail-compaction ladder: fixed pool widths (compile-once shapes) the
+# unfinished tail is squeezed into once it fits. Measured need
+# (scripts/profile_portal_v2.py, mesh 1024x768 quota 64): the pass spends
+# 5 s retiring 99% of slots, then 467 more cycles x 55 ms sweeping the FULL
+# 786K-lane pool for a dwindling <77K-slot tail — mesh-facing pixels freeze
+# on every segment, so they need hundreds of cheap+resolve cycles. Squeezing
+# them into 2048-65536-lane pools makes those cycles ~width-proportional.
+TAIL_LADDER = (262144, 131072, 65536, 16384, 8192, 2048)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _compact_tail(pool, idx, valid, quota_f):
+    """Gather slots idx of `pool` into a smaller pool and zero their acc in
+    the source, so radiance lives in exactly one pool at all times (every
+    stage's acc rows scatter-add by pix at pass end). idx is padded to a
+    fixed ladder width with arbitrary duplicates; `valid` masks real
+    entries — padding lanes are born retired (done=quota, alive=0, acc=0),
+    and the `.max` scatter ignores their duplicate column ids."""
+    small = jnp.take(pool, idx, axis=1)
+    v = valid.astype(jnp.float32)
+    moved = jnp.zeros((pool.shape[1],), jnp.float32).at[idx].max(v)
+    pool = pool.at[ROW_ACC:ROW_ACC + 3].multiply(1.0 - moved[None])
+    small = small.at[ROW_ALIVE].multiply(v)
+    small = small.at[V2_ROW_DONE].set(
+        jnp.where(valid, small[V2_ROW_DONE], quota_f)
+    )
+    small = small.at[ROW_ACC:ROW_ACC + 3].multiply(v[None])
+    return pool, small
+
+
+def drive_pool_v2(
+    pool,
+    k_pass: int,
+    sample_base: int,
+    seed0,
+    kscene: dict,
+    *,
+    portal_key: str,
+    cam_key: str,
+    max_depth: int,
+    rr_start_depth: int,
+    check_every: int = 4,
+    ladder=TAIL_LADDER,
+    on_check=None,
+):
+    """Cycle a pixel-pinned pool until every slot retires its quota,
+    compacting the unfinished tail down the width `ladder` as it shrinks.
+
+    Returns (stages, rays): `stages` is the list of finished pools (the
+    original plus one per compaction); summing every stage's acc rows keyed
+    by its V2_ROW_PIX row reconstructs the pass radiance exactly.
+    `on_check(cycle, width, unfin)` is called after each termination poll
+    (profiling hook)."""
+    quota = jnp.int32(k_pass)
+    sb = jnp.int32(sample_base)
+    stages = []
+    rays = jnp.float32(0.0)
+    cycle = 0
+    # stall = unfinished count not decreasing across polls (every cycle
+    # advances every unfinished slot by >= 1 segment, so a healthy pool
+    # strictly drains); an absolute ceiling backstops the backstop
+    stalled_polls = 0
+    last_u = None
+    hard_limit = 256 + 4 * k_pass * (max_depth + 4)
+    while True:
+        unfin = None
+        # small pools cycle in ~2-5 ms, so the ~25 ms poll round-trip
+        # dominates them (measured: w=2048 cycles are 1.75 ms between
+        # polls) — batch more cycles per poll as the pool shrinks;
+        # overshooting a few sub-ms cycles is free
+        w = pool.shape[1]
+        if w >= 131072:
+            steps = check_every
+        elif w >= 16384:
+            steps = 2 * check_every
+        elif w > 2048:
+            steps = 4 * check_every
+        else:
+            steps = 8 * check_every
+        for _ in range(steps):
+            pool, r, unfin = portal_cycle_v2(
+                pool, quota, sb, seed0 + jnp.int32(2 * cycle + 1), kscene,
+                portal_key=portal_key, cam_key=cam_key,
+                max_depth=max_depth, rr_start_depth=rr_start_depth,
+            )
+            rays = rays + r
+            cycle += 1
+        u = int(np.asarray(unfin))
+        if on_check is not None:
+            on_check(cycle, pool.shape[1], u)
+        if u == 0:
+            stages.append(pool)
+            return stages, rays
+        stalled_polls = stalled_polls + 1 if u == last_u else 0
+        last_u = u
+        if stalled_polls >= 20 or cycle > hard_limit:
+            raise RuntimeError(
+                f"portal v2 scheduler stalled: {u} slots unfinished "
+                f"after {cycle} cycles ({stalled_polls} polls without "
+                f"progress)"
+            )
+        target = None
+        for w in sorted(ladder, reverse=True):
+            if u <= w < pool.shape[1]:
+                target = w  # smallest ladder width that fits the tail
+        if target is not None:
+            done = np.asarray(pool[V2_ROW_DONE])
+            idx_np = np.flatnonzero(done < k_pass).astype(np.int32)
+            idx = jnp.asarray(
+                np.pad(idx_np, (0, target - len(idx_np)))
+            )
+            valid = jnp.asarray(np.arange(target) < len(idx_np))
+            pool, small = _compact_tail(pool, idx, valid, jnp.float32(k_pass))
+            stages.append(pool)
+            pool = small
+
+
+def make_portal_pass_runner_v2(
+    *,
+    portal_key: str,
+    cam_key: str,
+    npix: int,
+    k_full: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    check_every: int = 4,
+):
+    """Build the v2 pipeline pass_runner. Each pass gives every pixel-slot a
+    quota of k_pass samples; the pool cycles until every slot retires its
+    quota (tail-compacting as slots finish), then every stage pool's acc
+    rows add into the framebuffer — the primary pool directly (slot order ==
+    pixel order), compacted stages by one scatter-add each. Per-pixel sample
+    counts are exact by construction — the regen-loop discipline,
+    portal-deferred."""
+    n_pad = _round_block(npix)
+
+    def pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
+        sample_base = pass_idx * k_full
+        pass_key = rng.chunk_key(base_key, pass_idx)
+        seed0 = (
+            jax.random.key_data(pass_key).reshape(-1)[-1].astype(jnp.int32)
+        )
+
+        pool = jnp.zeros((V2_ROWS, n_pad), jnp.float32)
+        pool = pool.at[ROW_PREV].set(-1.0)
+        pool = pool.at[V2_ROW_PIX].set(
+            jnp.minimum(
+                jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1)
+            )
+        )
+        # padding slots are born fully retired (their acc rows stay zero)
+        pool = pool.at[V2_ROW_DONE].set(
+            jnp.where(
+                jnp.arange(n_pad) < npix, 0.0, float(k_pass)
+            ).astype(jnp.float32)
+        )
+
+        stages, rays = drive_pool_v2(
+            pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
+            portal_key=portal_key, cam_key=cam_key, max_depth=max_depth,
+            rr_start_depth=rr_start_depth, check_every=check_every,
+        )
+        accum = accum + stages[0][ROW_ACC:ROW_ACC + 3, :npix].T
+        for st in stages[1:]:
+            pix = st[V2_ROW_PIX].astype(jnp.int32)
+            accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
         return accum, rays
 
     return pass_runner
