@@ -279,6 +279,12 @@ def _make_kernel_cheap_regen(
         )
         quota = seed_ref[0, 1].astype(jnp.float32)
         sample_base = seed_ref[0, 2].astype(jnp.float32)
+        # per-call step budget: without it a block sweeps until its LONGEST
+        # runner finishes (max over 2048 lanes of run-to-freeze ≈ 120 steps
+        # vs a 14-step mean → ~10% occupancy in the bulk phase); capping
+        # defers long runners to later cycles, which must happen anyway for
+        # the frozen lanes. 0 disables (tests / single-cycle semantics).
+        step_cap = seed_ref[0, 3].astype(jnp.float32)
 
         pix = state_ref[V2_ROW_PIX]
         raygen, (lcx, lcy, lcz) = make_raygen(cam_consts, pix)
@@ -383,7 +389,13 @@ def _make_kernel_cheap_regen(
                 1.0 - st["frozen"],
                 jnp.where(st["done"] < quota, 1.0, 0.0),
             )
-            return (i.astype(jnp.float32) < quota * max_depth + 8.0) & (
+            fi = i.astype(jnp.float32)
+            bound = jnp.where(
+                step_cap > 0.0,
+                jnp.minimum(step_cap, quota * max_depth + 8.0),
+                quota * max_depth + 8.0,
+            )
+            return (fi < bound) & (
                 _fold_lanes(runnable) > 0.0
             )
 
@@ -425,6 +437,7 @@ def trace_cheap_regen(
     seed,
     quota,
     sample_base,
+    step_cap=0,
     *,
     max_depth: int = 12,
     rr_start_depth: int = 5,
@@ -432,10 +445,11 @@ def trace_cheap_regen(
     unroll: int = 8,
 ):
     """Advance the pixel-pinned pool: every lane runs cheap-scene bounces
-    with in-kernel regeneration until it is frozen at the portal or has
-    finished `quota` samples (both runtime scalars). pool: [V2_ROWS, n] f32,
-    n % block == 0. Returns (pool', rays_traced). After this call
-    alive == frozen."""
+    with in-kernel regeneration until it is frozen at the portal, has
+    finished `quota` samples, or the per-call `step_cap` is reached (all
+    runtime scalars; step_cap 0 = unlimited). pool: [V2_ROWS, n] f32,
+    n % block == 0. Returns (pool', rays_traced). With step_cap 0,
+    alive == frozen after this call."""
     consts = _SCENES[portal_key]
     cam_consts = _SCENES[cam_key]
     n = pool.shape[1]
@@ -466,7 +480,8 @@ def trace_cheap_regen(
             jnp.asarray(seed, jnp.int32),
             jnp.asarray(quota, jnp.int32),
             jnp.asarray(sample_base, jnp.int32),
-        ]).reshape(1, 3),
+            jnp.asarray(step_cap, jnp.int32),
+        ]).reshape(1, 4),
         pool.reshape(V2_ROWS, rows8, L),
     )
     return out.reshape(V2_ROWS, n), jnp.sum(counts)

@@ -130,6 +130,16 @@ TILE_THRESHOLD = 192  # tile + cull only above this many triangles
 # Keep whole-block (0); the chunked machinery stays for narrower hardware.
 CULL_CHUNK = 0
 
+# Skip the per-tile any-can-hit lax.cond and execute every Morton tile
+# unconditionally. For the portal RESOLVE the frozen lanes all reach the
+# mesh AABB by construction, so the conds almost never fire there — this
+# trades their scalar-branch overhead for the (already-paid) vector work.
+# Module-level like CULL_CHUNK: set PT_TPU_FORCE_TILES=1 before import
+# (separate process per variant — the jit cache does not key on it).
+import os as _os  # noqa: E402
+
+FORCE_TILES = bool(int(_os.environ.get("PT_TPU_FORCE_TILES", "0")))
+
 
 def kernel_scene_buffers(packed: ScenePacked) -> dict:
     """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
@@ -717,6 +727,14 @@ def _make_kernel(
                         jnp.zeros((1, lw)), jnp.full((1, lw), 1.0e9),
                     )
                     for c in range(n_tiles):
+                        if FORCE_TILES:
+                            res = tri_block(
+                                tile_base + c * TRI_TILE, TRI_TILE,
+                                rays=rays_j,
+                                lane=(ls, CW if CW < B else None),
+                            )
+                            st = merge_closer(st, res)
+                            continue
                         bound = jnp.minimum(st[0], d_s_j)  # closest hit so far
                         cand = tl_poss[c, ls : ls + CW][None, :] & (
                             t_en[c, ls : ls + CW][None, :] < bound

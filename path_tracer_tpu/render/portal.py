@@ -22,6 +22,7 @@ every vector lane busy with useful work.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,17 +237,22 @@ def portal_cycle_v2(
     sample_base,
     cycle_seed,
     kscene: dict,
+    step_cap=0,
     *,
     portal_key: str,
     cam_key: str,
     max_depth: int,
     rr_start_depth: int,
 ):
-    """One v2 cycle: cheap-advance-with-regen until every lane is frozen or
-    quota-done, then one full-scene resolve bounce over the (uncompacted)
-    pool masked by alive==frozen. Returns (pool', rays, unfinished)."""
+    """One v2 cycle: cheap-advance-with-regen until every lane is frozen,
+    quota-done, or step-capped, then one full-scene resolve bounce over the
+    (uncompacted) pool masked by alive. A capped-but-unfrozen lane simply
+    has its next segment traced by the resolver (full scene ⊇ cheap scene
+    — correct, it just pays the triangle sweep it would otherwise skip;
+    the resolver sweeps every lane regardless, so this is free).
+    Returns (pool', rays, unfinished)."""
     pool, c1 = trace_cheap_regen(
-        pool, portal_key, cam_key, cycle_seed, quota, sample_base,
+        pool, portal_key, cam_key, cycle_seed, quota, sample_base, step_cap,
         max_depth=max_depth, rr_start_depth=rr_start_depth,
         block=CHEAP_BLOCK,
     )
@@ -317,6 +323,8 @@ def drive_pool_v2(
     rr_start_depth: int,
     check_every: int = 4,
     ladder=TAIL_LADDER,
+    step_cap: int | None = None,
+    adaptive_polls: bool = True,
     on_check=None,
 ):
     """Cycle a pixel-pinned pool until every slot retires its quota,
@@ -327,6 +335,8 @@ def drive_pool_v2(
     by its V2_ROW_PIX row reconstructs the pass radiance exactly.
     `on_check(cycle, width, unfin)` is called after each termination poll
     (profiling hook)."""
+    if step_cap is None:
+        step_cap = int(os.environ.get("PT_TPU_STEP_CAP", "32"))
     quota = jnp.int32(k_pass)
     sb = jnp.int32(sample_base)
     stages = []
@@ -343,9 +353,10 @@ def drive_pool_v2(
         # small pools cycle in ~2-5 ms, so the ~25 ms poll round-trip
         # dominates them (measured: w=2048 cycles are 1.75 ms between
         # polls) — batch more cycles per poll as the pool shrinks;
-        # overshooting a few sub-ms cycles is free
+        # overshooting a few sub-ms cycles is free. adaptive_polls=False
+        # keeps polls exactly at check_every (tests want every rung hit).
         w = pool.shape[1]
-        if w >= 131072:
+        if not adaptive_polls or w >= 131072:
             steps = check_every
         elif w >= 16384:
             steps = 2 * check_every
@@ -356,6 +367,7 @@ def drive_pool_v2(
         for _ in range(steps):
             pool, r, unfin = portal_cycle_v2(
                 pool, quota, sb, seed0 + jnp.int32(2 * cycle + 1), kscene,
+                jnp.int32(step_cap),
                 portal_key=portal_key, cam_key=cam_key,
                 max_depth=max_depth, rr_start_depth=rr_start_depth,
             )

@@ -397,6 +397,7 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
                 fresh_pool(), spp, 0, jnp.int32(3), bufs["kernel"],
                 portal_key=pkey, cam_key=cam_key, max_depth=depth,
                 rr_start_depth=5, check_every=1, ladder=ladder,
+                adaptive_polls=False,
             )
 
     stages, rays = drive((2048,))
