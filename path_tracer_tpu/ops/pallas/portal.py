@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,34 @@ ROWS = 16
 V2_ROW_DONE = 15
 V2_ROW_PIX = 16  # still carried: per-block raygen needs lane-shaped indices
 V2_ROWS = 17
+
+# Parked-path extension (park_k > 0): a lane whose segment freezes at the
+# portal PARKS the path in one of K per-lane buffers and immediately
+# continues with its slot's next sample — without this, a freeze stalls
+# the lane until the next resolve and the bulk phase runs at the mean/max
+# run-length ratio (~10-25% occupancy). Buffers hold full mid-path state;
+# BUF_STATE: 0 = empty, 1 = frozen (awaiting resolve), 2 = ready
+# (resolved, awaiting cheap advancement). `started` counts samples issued
+# (done counts completions; they differ while paths are parked — raygen
+# indexes by `started` so in-flight samples get distinct indices).
+PARK_K = int(_os.environ.get("PT_TPU_PARK_K", "3"))
+V3_ROW_STARTED = 17
+V3_BUF_BASE = 18
+BUF_O = 0
+BUF_D = 3
+BUF_THR = 6
+BUF_PREV = 9
+BUF_DEPTH = 10
+BUF_STATE = 11
+BUF_ROWS = 12
+
+
+def buf_row(j: int, r: int = 0) -> int:
+    return V3_BUF_BASE + j * BUF_ROWS + r
+
+
+def pool_rows(park_k: int) -> int:
+    return V3_BUF_BASE + park_k * BUF_ROWS if park_k else V2_ROWS
 
 
 def build_portal_consts(packed: ScenePacked):
@@ -256,19 +285,24 @@ def _make_kernel_cheap(consts, L, max_depth, rr_start_depth):
 
 
 def _make_kernel_cheap_regen(
-    consts, cam_consts, L, max_depth, rr_start_depth, unroll
+    consts, cam_consts, L, max_depth, rr_start_depth, unroll, park_k=0
 ):
     """v2 cheap kernel: portal freeze + IN-KERNEL REGENERATION on a
-    pixel-pinned pool ([V2_ROWS, SUB, L] blocks; slot index == pixel).
+    pixel-pinned pool ([pool_rows, SUB, L] blocks; slot index == pixel).
 
     Each lane advances its slot's current path; when a path dies the lane
     immediately starts the slot's next sample (same raygen as regen_loop —
-    shared make_raygen) until `quota` samples are done; when a segment could
-    hit the heavy mesh the lane freezes with state intact (alive stays 1,
-    the deterministic portal test re-marks it every later step). The kernel
-    exits when no lane can advance: every lane is frozen or quota-done.
-    acc/done accumulate IN THE POOL across calls — the scheduler never
-    scatters or compacts (see render.portal).
+    shared make_raygen) until `quota` samples are started; when a segment
+    could hit the heavy mesh the lane freezes with state intact (alive
+    stays 1, the deterministic portal test re-marks it every later step).
+
+    park_k > 0: a freezing lane PARKS the path in its first empty buffer
+    (BUF_STATE 0→1) and continues with the next sample; at step start,
+    dead lanes re-activate resolver-advanced buffers (BUF_STATE 2→0)
+    before regenerating fresh samples. The lane only stalls when its
+    active path is frozen AND every buffer holds a frozen path. The kernel
+    exits when no lane can advance. acc/done accumulate IN THE POOL across
+    calls — the scheduler never scatters or compacts (see render.portal).
     """
     prims, bnd, (lo, hi) = consts
     prim_scan = make_prim_scan(prims, bnd)
@@ -305,9 +339,30 @@ def _make_kernel_cheap_regen(
             u = _uniform((6 * SUB, L))
             u = [u[k * SUB:(k + 1) * SUB] for k in range(6)]
 
+            if park_k:
+                st["p"] = [dict(pj) for pj in st["p"]]
+                # re-activate resolver-advanced parked paths (lowest j
+                # first) into dead lanes — before regen, so parked work
+                # finishes ahead of fresh samples
+                vacant = st["alive"] <= 0.0
+                for pj in st["p"]:
+                    pull = vacant & (pj["ps"] > 1.5)
+                    for k in range(3):
+                        st["o"][k] = jnp.where(pull, pj["o"][k], st["o"][k])
+                        st["d"][k] = jnp.where(pull, pj["d"][k], st["d"][k])
+                        st["thr"][k] = jnp.where(
+                            pull, pj["thr"][k], st["thr"][k]
+                        )
+                    st["prev"] = jnp.where(pull, pj["prev"], st["prev"])
+                    st["depth"] = jnp.where(pull, pj["depth"], st["depth"])
+                    st["alive"] = jnp.where(pull, 1.0, st["alive"])
+                    pj["ps"] = jnp.where(pull, 0.0, pj["ps"])
+                    vacant = vacant & ~pull
+
             # regenerate: dead lanes with samples left start the next one
-            need = (st["alive"] <= 0.0) & (st["done"] < quota)
-            d_new = raygen(sample_base + st["done"], u[4], u[5])
+            issued = st["started"] if park_k else st["done"]
+            need = (st["alive"] <= 0.0) & (issued < quota)
+            d_new = raygen(sample_base + issued, u[4], u[5])
             for k, lc in enumerate((lcx, lcy, lcz)):
                 st["o"][k] = jnp.where(need, lc, st["o"][k])
                 st["d"][k] = jnp.where(need, d_new[k], st["d"][k])
@@ -315,6 +370,8 @@ def _make_kernel_cheap_regen(
             st["prev"] = jnp.where(need, -1.0, st["prev"])
             st["depth"] = jnp.where(need, 0.0, st["depth"])
             st["alive"] = jnp.where(need, 1.0, st["alive"])
+            if park_k:
+                st["started"] = st["started"] + need.astype(jnp.float32)
 
             live = st["alive"] > 0.0
             hit_box, t_en = portal_blocked(st["o"], st["d"], live)
@@ -360,10 +417,33 @@ def _make_kernel_cheap_regen(
             st["prev"] = jnp.where(needs, st["prev"], new_prev)
             st["alive"] = jnp.where(needs, st["alive"], am)
             st["depth"] = jnp.where(needs, st["depth"], new_depth * am)
+
+            if park_k:
+                # park the frozen path (its state was preserved unchanged
+                # by the needs-selects above) in the first empty buffer and
+                # free the lane; lanes that find no slot stall as before
+                to_park = needs & live
+                for pj in st["p"]:
+                    park = to_park & (pj["ps"] < 0.5)
+                    for k in range(3):
+                        pj["o"][k] = jnp.where(park, st["o"][k], pj["o"][k])
+                        pj["d"][k] = jnp.where(park, st["d"][k], pj["d"][k])
+                        pj["thr"][k] = jnp.where(
+                            park, st["thr"][k], pj["thr"][k]
+                        )
+                    pj["prev"] = jnp.where(park, st["prev"], pj["prev"])
+                    pj["depth"] = jnp.where(park, st["depth"], pj["depth"])
+                    pj["ps"] = jnp.where(park, 1.0, pj["ps"])
+                    to_park = to_park & ~park
+                parked = needs & live & ~to_park
+                st["alive"] = jnp.where(parked, 0.0, st["alive"])
+                stalled = to_park  # frozen and every buffer full
+            else:
+                stalled = needs
             # frozen marker for the NEXT loop-condition check (cheap: the
             # portal test is deterministic on unchanged o/d, so a frozen
             # lane stays frozen until the resolver moves it)
-            st["frozen"] = jnp.where(live, needs.astype(jnp.float32), 0.0)
+            st["frozen"] = jnp.where(live, stalled.astype(jnp.float32), 0.0)
             return st
 
         o = [state_ref[ROW_O + k] for k in range(3)]
@@ -381,13 +461,33 @@ def _make_kernel_cheap_regen(
             "counts": zero,
             "frozen": zero,  # conservatively 0: first check runs the body
         }
+        if park_k:
+            state["started"] = state_ref[V3_ROW_STARTED]
+            state["p"] = [
+                {
+                    "o": [state_ref[buf_row(j, BUF_O + k)] for k in range(3)],
+                    "d": [state_ref[buf_row(j, BUF_D + k)] for k in range(3)],
+                    "thr": [
+                        state_ref[buf_row(j, BUF_THR + k)] for k in range(3)
+                    ],
+                    "prev": state_ref[buf_row(j, BUF_PREV)],
+                    "depth": state_ref[buf_row(j, BUF_DEPTH)],
+                    "ps": state_ref[buf_row(j, BUF_STATE)],
+                }
+                for j in range(park_k)
+            ]
 
         def not_done(carry):
             i, st = carry
+            can_start = st["done"] < quota
+            if park_k:
+                can_start = st["started"] < quota
+                for pj in st["p"]:
+                    can_start = can_start | (pj["ps"] > 1.5)
             runnable = jnp.where(
                 st["alive"] > 0.0,
                 1.0 - st["frozen"],
-                jnp.where(st["done"] < quota, 1.0, 0.0),
+                jnp.where(can_start, 1.0, 0.0),
             )
             fi = i.astype(jnp.float32)
             bound = jnp.where(
@@ -417,6 +517,16 @@ def _make_kernel_cheap_regen(
         out_ref[ROW_DEPTH] = st["depth"]
         out_ref[V2_ROW_DONE] = st["done"]
         out_ref[V2_ROW_PIX] = pix
+        if park_k:
+            out_ref[V3_ROW_STARTED] = st["started"]
+            for j, pj in enumerate(st["p"]):
+                for k in range(3):
+                    out_ref[buf_row(j, BUF_O + k)] = pj["o"][k]
+                    out_ref[buf_row(j, BUF_D + k)] = pj["d"][k]
+                    out_ref[buf_row(j, BUF_THR + k)] = pj["thr"][k]
+                out_ref[buf_row(j, BUF_PREV)] = pj["prev"]
+                out_ref[buf_row(j, BUF_DEPTH)] = pj["depth"]
+                out_ref[buf_row(j, BUF_STATE)] = pj["ps"]
         count_ref[0] = st["counts"]
 
     return kernel
@@ -426,7 +536,7 @@ def _make_kernel_cheap_regen(
     jax.jit,
     static_argnames=(
         "portal_key", "cam_key", "max_depth", "rr_start_depth", "block",
-        "unroll",
+        "unroll", "park_k",
     ),
     donate_argnums=(0,),
 )
@@ -443,22 +553,29 @@ def trace_cheap_regen(
     rr_start_depth: int = 5,
     block: int = 2048,
     unroll: int = 8,
+    park_k: int = 0,
 ):
     """Advance the pixel-pinned pool: every lane runs cheap-scene bounces
     with in-kernel regeneration until it is frozen at the portal, has
-    finished `quota` samples, or the per-call `step_cap` is reached (all
-    runtime scalars; step_cap 0 = unlimited). pool: [V2_ROWS, n] f32,
-    n % block == 0. Returns (pool', rays_traced). With step_cap 0,
-    alive == frozen after this call."""
+    issued `quota` samples, or the per-call `step_cap` is reached (all
+    runtime scalars; step_cap 0 = unlimited). pool: [pool_rows(park_k), n]
+    f32, n % block == 0. park_k > 0 parks frozen paths per lane instead of
+    stalling (see _make_kernel_cheap_regen). Returns (pool', rays_traced).
+    With step_cap 0 and park_k 0, alive == frozen after this call."""
     consts = _SCENES[portal_key]
     cam_consts = _SCENES[cam_key]
     n = pool.shape[1]
+    rows = pool_rows(park_k)
     if n % block or block % SUB:
         raise ValueError(f"n={n} must be a multiple of block={block}")
+    if pool.shape[0] != rows:
+        raise ValueError(
+            f"pool has {pool.shape[0]} rows; park_k={park_k} needs {rows}"
+        )
     L = block // SUB
     rows8 = n // L
     kernel = _make_kernel_cheap_regen(
-        consts, cam_consts, L, max_depth, rr_start_depth, unroll
+        consts, cam_consts, L, max_depth, rr_start_depth, unroll, park_k
     )
 
     def rspec(k):
@@ -468,10 +585,10 @@ def trace_cheap_regen(
     out, counts = pl.pallas_call(
         kernel,
         grid=(n // block,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rspec(V2_ROWS)],
-        out_specs=(rspec(V2_ROWS), rspec(1)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rspec(rows)],
+        out_specs=(rspec(rows), rspec(1)),
         out_shape=(
-            jax.ShapeDtypeStruct((V2_ROWS, rows8, L), jnp.float32),
+            jax.ShapeDtypeStruct((rows, rows8, L), jnp.float32),
             jax.ShapeDtypeStruct((1, rows8, L), jnp.float32),
         ),
         input_output_aliases={1: 0},
@@ -482,9 +599,9 @@ def trace_cheap_regen(
             jnp.asarray(sample_base, jnp.int32),
             jnp.asarray(step_cap, jnp.int32),
         ]).reshape(1, 4),
-        pool.reshape(V2_ROWS, rows8, L),
+        pool.reshape(rows, rows8, L),
     )
-    return out.reshape(V2_ROWS, n), jnp.sum(counts)
+    return out.reshape(rows, n), jnp.sum(counts)
 
 
 @functools.partial(

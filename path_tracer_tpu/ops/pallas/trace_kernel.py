@@ -141,7 +141,14 @@ import os as _os  # noqa: E402
 FORCE_TILES = bool(int(_os.environ.get("PT_TPU_FORCE_TILES", "0")))
 
 
-def kernel_scene_buffers(packed: ScenePacked) -> dict:
+# static per-scene kernel metadata (e.g. per-tile material uniformity),
+# registered by the pipeline under its portal key so jitted schedulers can
+# recover it at trace time from their static key (a jit-traced dict of
+# arrays cannot carry static tuples).
+TILE_META: dict[str, dict] = {}
+
+
+def kernel_scene_buffers(packed: ScenePacked, with_meta: bool = False):
     """Scene tables shaped for the kernel: [3,P] / [1,P] with prims padded to
     sublane multiples using guaranteed-miss entries; plus the [M,T] 0/1 gate
     matrix mapping mesh bounding spheres to their triangles.
@@ -299,6 +306,22 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
             tile_hi[c] = verts.max(axis=0) + slop
         tiles = (tile_lo, tile_hi, C, base_pad)
 
+        # per-tile material uniformity: a tile whose real triangles share
+        # color/emis/rtype can skip 8 of its 12 one-hot attribute reads in
+        # the kernel (the winner's material is the tile's first row). True
+        # for typical single-material OFF meshes; walls live in the base
+        # set and don't constrain this.
+        uniform = []
+        for c in range(C):
+            sl = slice(base_pad + c * TRI_TILE, base_pad + (c + 1) * TRI_TILE)
+            rows = np.where(tri_pid[sl] > -1.5)[0]
+            u = len(rows) > 0
+            for tab in (tri_color, tri_emis, tri_rtype):
+                a = tab[sl][rows]
+                u = u and bool(np.all(a == a[0]))
+            uniform.append(u)
+        meta = {"tile_uniform_mat": tuple(uniform)}
+
     coeffs = intersect_ops.triangle_coeffs_np(tri_v)
 
     order_fill = 1.0e9
@@ -353,7 +376,10 @@ def kernel_scene_buffers(packed: ScenePacked) -> dict:
     span = np.maximum(pts.max(axis=0) - lo, 1e-6).astype(np.float32)
     bufs["aabb_lo"] = lo.reshape(3, 1)
     bufs["aabb_inv_span"] = (1.0 / span).reshape(3, 1)
-    return {k: jnp.asarray(v) for k, v in bufs.items()}
+    out = {k: jnp.asarray(v) for k, v in bufs.items()}
+    if with_meta:
+        return out, (meta if tiles is not None else {})
+    return out
 
 
 def _uniform(shape):
@@ -494,6 +520,7 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
 def _make_kernel(
     S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
     n_tiles=0, tile_base=0, regen=None, per_lane_depth=False,
+    const_mat_tiles=None,
 ):
     """Kernel running n_steps bounces starting at depth depth0 (SMEM input).
 
@@ -581,12 +608,16 @@ def _make_kernel(
                 o[0] * d[1] - o[1] * d[0],
             ]
 
-            def tri_block(lo, size, rays=None, lane=(0, None)):
+            def tri_block(lo, size, rays=None, lane=(0, None),
+                          const_mat=False):
                 """Intersect triangles [lo, lo+size) (static slice) against
                 the ray lane window `lane=(start, width)` (whole block when
                 width is None); rays=(o, d, m, prev) defaults to the full
                 block vectors. Returns per-ray (d_t, i_t, normal3, color3,
-                emis3, rtype, order), each [1, width]."""
+                emis3, rtype, order), each [1, width]. const_mat: the
+                slice's triangles share color/emis/rtype (static fact from
+                kernel_scene_buffers meta) — read them once from the first
+                row instead of 8 one-hot reductions."""
                 ls, lw = lane
                 lw = B if lw is None else lw
                 ob, db, mb, prevb = rays if rays is not None else (o, d, m, prev)
@@ -640,13 +671,26 @@ def _make_kernel(
                 def read_t(tab, k):
                     return jnp.sum(col(tab, k) * oh_t, axis=0, keepdims=True)
 
+                if const_mat:
+                    def bconst(tab, k):
+                        # (1,1) row read broadcast across the lane window
+                        return tab[k, lo:lo + 1][None, :] + jnp.zeros((1, lw))
+
+                    color_t = [bconst(tri_color, k) for k in range(3)]
+                    emis_t = [bconst(tri_emis, k) for k in range(3)]
+                    rtype_t = bconst(tri_rtype, 0)
+                else:
+                    color_t = [read_t(tri_color, k) for k in range(3)]
+                    emis_t = [read_t(tri_emis, k) for k in range(3)]
+                    rtype_t = read_t(tri_rtype, 0)
+
                 return (
                     d_t,
                     read_t(tri_pid, 0),
                     [read_t(tri_normal, k) for k in range(3)],
-                    [read_t(tri_color, k) for k in range(3)],
-                    [read_t(tri_emis, k) for k in range(3)],
-                    read_t(tri_rtype, 0),
+                    color_t,
+                    emis_t,
+                    rtype_t,
                     read_t(tri_order, 0),
                 )
 
@@ -727,11 +771,14 @@ def _make_kernel(
                         jnp.zeros((1, lw)), jnp.full((1, lw), 1.0e9),
                     )
                     for c in range(n_tiles):
+                        cmat = bool(const_mat_tiles[c]) if const_mat_tiles \
+                            else False
                         if FORCE_TILES:
                             res = tri_block(
                                 tile_base + c * TRI_TILE, TRI_TILE,
                                 rays=rays_j,
                                 lane=(ls, CW if CW < B else None),
+                                const_mat=cmat,
                             )
                             st = merge_closer(st, res)
                             continue
@@ -746,9 +793,10 @@ def _make_kernel(
                         res = jax.lax.cond(
                             any_hit,
                             lambda lo=tile_base + c * TRI_TILE, rj=rays_j,
-                                   ls=ls: tri_block(
+                                   ls=ls, cm=cmat: tri_block(
                                 lo, TRI_TILE, rays=rj,
                                 lane=(ls, CW if CW < B else None),
+                                const_mat=cm,
                             ),
                             lambda: skip_val,
                         )
@@ -1173,7 +1221,9 @@ def trace_pallas_regen_prim(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_depth", "rr_start_depth", "block"),
+    static_argnames=(
+        "max_depth", "rr_start_depth", "block", "const_mat_tiles",
+    ),
 )
 def trace_pallas_resolve(
     o, d, thr, acc, alive, prev, depth,
@@ -1184,11 +1234,16 @@ def trace_pallas_resolve(
     rr_start_depth: int = 5,
     block: int = 1024,
     uniforms=None,
+    const_mat_tiles: tuple | None = None,
 ):
     """ONE full-scene bounce for a batch of mid-path rays whose depths
     differ per lane — the portal scheduler's mesh-segment resolver (each
     suspended path gets its blocking segment intersected against the whole
     scene, shaded, and handed back).
+
+    const_mat_tiles: static per-tile material-uniformity flags from
+    kernel_scene_buffers(with_meta=True) — uniform tiles skip 8 of their
+    12 one-hot attribute reads (TILE_META registry, keyed by portal key).
 
     o, d, thr, acc: [3, n]; alive, prev, depth: [1, n] (prev in PACKED
     triangle ids; depth = bounces already completed). n % block == 0.
@@ -1210,6 +1265,7 @@ def trace_pallas_resolve(
     kernel = _make_kernel(
         S, M, T, block, 1, max_depth, rr_start_depth, fixed, pretest,
         n_tiles=n_tiles, tile_base=tile_base, per_lane_depth=True,
+        const_mat_tiles=const_mat_tiles,
     )
 
     def rspec(rows):

@@ -132,12 +132,18 @@ def prepare_scene_and_mode(
                     f"{pkey}:cam:{w}x{h}",
                     trace_v2.build_camera_consts(scene.camera, w, h),
                 )
-                if "kernel" not in bufs:
-                    from path_tracer_tpu.ops.pallas.trace_kernel import (
-                        kernel_scene_buffers,
-                    )
+                from path_tracer_tpu.ops.pallas.trace_kernel import (
+                    TILE_META, kernel_scene_buffers,
+                )
 
-                    bufs["kernel"] = kernel_scene_buffers(packed)
+                if "kernel" not in bufs or pkey not in TILE_META:
+                    bufs["kernel"], meta = kernel_scene_buffers(
+                        packed, with_meta=True
+                    )
+                    # static per-tile facts (material uniformity) for the
+                    # resolver, recoverable at trace time from the static
+                    # portal key
+                    TILE_META[pkey] = meta
                 mode = f"{pkey}@{w}x{h}"
             else:
                 cam_key = f"camr:{cam_digest}:{w}x{h}"

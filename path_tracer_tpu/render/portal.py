@@ -30,9 +30,9 @@ import numpy as np
 
 from path_tracer_tpu.ops import rng
 from path_tracer_tpu.ops.pallas.portal import (
-    ROW_ACC, ROW_ALIVE, ROW_D, ROW_DEPTH, ROW_O, ROW_PIX, ROW_PREV, ROW_THR,
-    ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROWS, trace_cheap_blocked,
-    trace_cheap_regen,
+    PARK_K, ROW_ACC, ROW_ALIVE, ROW_D, ROW_DEPTH, ROW_O, ROW_PIX, ROW_PREV,
+    ROW_THR, ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROWS, V3_ROW_STARTED,
+    pool_rows, trace_cheap_blocked, trace_cheap_regen,
 )
 from path_tracer_tpu.ops.pallas.trace_kernel import trace_pallas_resolve
 
@@ -227,7 +227,7 @@ def make_portal_pass_runner(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "portal_key", "cam_key", "max_depth", "rr_start_depth",
+        "portal_key", "cam_key", "max_depth", "rr_start_depth", "park_k",
     ),
     donate_argnums=(0,),
 )
@@ -243,38 +243,100 @@ def portal_cycle_v2(
     cam_key: str,
     max_depth: int,
     rr_start_depth: int,
+    park_k: int = 0,
 ):
-    """One v2 cycle: cheap-advance-with-regen until every lane is frozen,
-    quota-done, or step-capped, then one full-scene resolve bounce over the
-    (uncompacted) pool masked by alive. A capped-but-unfrozen lane simply
-    has its next segment traced by the resolver (full scene ⊇ cheap scene
-    — correct, it just pays the triangle sweep it would otherwise skip;
-    the resolver sweeps every lane regardless, so this is free).
+    """One v2 cycle: cheap-advance-with-regen until every lane is frozen
+    (park_k > 0: parked K-deep), quota-done, or step-capped, then ONE
+    full-scene resolve bounce over the active path AND every parked buffer
+    (concatenated along the lane axis — one sweep, (park_k+1)*n lanes).
+    A capped-but-unfrozen lane simply has its next segment traced by the
+    resolver (full scene ⊇ cheap scene — correct, it just pays a triangle
+    sweep it would otherwise skip). Paths the resolver ends retire in
+    place: the slot's done count bumps; surviving parked paths flip to
+    BUF_STATE 2 (ready) for the next cheap call.
     Returns (pool', rays, unfinished)."""
     pool, c1 = trace_cheap_regen(
         pool, portal_key, cam_key, cycle_seed, quota, sample_base, step_cap,
         max_depth=max_depth, rr_start_depth=rr_start_depth,
-        block=CHEAP_BLOCK,
+        block=CHEAP_BLOCK, park_k=park_k,
     )
-    alive_before = pool[ROW_ALIVE]
+    from path_tracer_tpu.ops.pallas.portal import (
+        BUF_DEPTH, BUF_O, BUF_PREV, BUF_STATE, BUF_THR, buf_row,
+    )
+    from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
+
+    n = pool.shape[1]
+    zeros3 = jnp.zeros((3, n), jnp.float32)
+
+    def buf(j, r, k=1):
+        return pool[buf_row(j, r):buf_row(j, r) + k]
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=1)
+
+    o_in = cat([pool[ROW_O:ROW_O + 3]]
+               + [buf(j, BUF_O, 6)[:3] for j in range(park_k)])
+    d_in = cat([pool[ROW_D:ROW_D + 3]]
+               + [buf(j, BUF_O, 6)[3:] for j in range(park_k)])
+    thr_in = cat([pool[ROW_THR:ROW_THR + 3]]
+                 + [buf(j, BUF_THR, 3) for j in range(park_k)])
+    acc_in = cat([pool[ROW_ACC:ROW_ACC + 3]] + [zeros3] * park_k)
+    p_frozen = [buf(j, BUF_STATE) > 0.5 for j in range(park_k)]
+    p_frozen = [pf & (buf(j, BUF_STATE) < 1.5)
+                for j, pf in enumerate(p_frozen)]
+    alive_in = cat([pool[ROW_ALIVE:ROW_ALIVE + 1]]
+                   + [pf.astype(jnp.float32) for pf in p_frozen])
+    prev_in = cat([pool[ROW_PREV:ROW_PREV + 1]]
+                  + [buf(j, BUF_PREV) for j in range(park_k)])
+    depth_in = cat([pool[ROW_DEPTH:ROW_DEPTH + 1]]
+                   + [buf(j, BUF_DEPTH) for j in range(park_k)])
+
+    # portal_key is static here, so this is a trace-time constant lookup
+    meta = TILE_META.get(portal_key, {})
     o, d, thr, acc, alive, prev, depth, c2 = trace_pallas_resolve(
-        pool[ROW_O:ROW_O + 3], pool[ROW_D:ROW_D + 3],
-        pool[ROW_THR:ROW_THR + 3], pool[ROW_ACC:ROW_ACC + 3],
-        pool[ROW_ALIVE:ROW_ALIVE + 1], pool[ROW_PREV:ROW_PREV + 1],
-        pool[ROW_DEPTH:ROW_DEPTH + 1],
+        o_in, d_in, thr_in, acc_in, alive_in, prev_in, depth_in,
         kscene, cycle_seed + jnp.int32(1),
         max_depth=max_depth, rr_start_depth=rr_start_depth,
         block=RESOLVE_BLOCK,
+        const_mat_tiles=meta.get("tile_uniform_mat"),
     )
-    # a path the resolver ended retires in place: its slot's done count
-    # bumps and the lane regenerates in the next cheap call
-    ended = (alive_before > 0.0) & (alive[0] <= 0.0)
+
+    def part(x, j):  # part 0 = active path, part j>=1 = buffer j-1
+        return x[:, j * n:(j + 1) * n]
+
+    # active path: a resolver-ended path retires in place — the slot's
+    # done count bumps and the lane regenerates in the next cheap call
+    ended = (pool[ROW_ALIVE] > 0.0) & (part(alive, 0)[0] <= 0.0)
     done = pool[V2_ROW_DONE] + ended.astype(jnp.float32)
-    pool = jnp.concatenate(
-        [o, d, thr, acc, alive, prev, depth, done[None],
-         pool[V2_ROW_PIX:V2_ROW_PIX + 1]],
-        axis=0,
-    )
+    rows = [part(o, 0), part(d, 0), part(thr, 0), part(acc, 0),
+            part(alive, 0), part(prev, 0), part(depth, 0), done[None],
+            pool[V2_ROW_PIX:V2_ROW_PIX + 1]]
+    if park_k:
+        rows.append(pool[V3_ROW_STARTED:V3_ROW_STARTED + 1])
+        acc_extra = jnp.zeros((3, n), jnp.float32)
+        for j in range(park_k):
+            pj_alive = part(alive, j + 1)[0] > 0.0
+            proc = p_frozen[j][0]
+            # parked radiance lives in the slot acc (shared across the
+            # slot's samples); the buffer sweep used a zero acc, so its
+            # output is a pure delta
+            acc_extra = acc_extra + part(acc, j + 1)
+            done = done + (proc & ~pj_alive).astype(jnp.float32)
+            ps_new = jnp.where(
+                proc, jnp.where(pj_alive, 2.0, 0.0),
+                pool[buf_row(j, BUF_STATE)],
+            )
+            rows += [
+                jnp.where(proc, part(o, j + 1), buf(j, BUF_O, 3)),
+                jnp.where(proc, part(d, j + 1), buf(j, BUF_O + 3, 3)),
+                jnp.where(proc, part(thr, j + 1), buf(j, BUF_THR, 3)),
+                jnp.where(proc, part(prev, j + 1), buf(j, BUF_PREV)),
+                jnp.where(proc, part(depth, j + 1), buf(j, BUF_DEPTH)),
+                ps_new[None],
+            ]
+        rows[3] = rows[3] + acc_extra  # slot acc
+        rows[7] = done[None]
+    pool = jnp.concatenate(rows, axis=0)
     quota_f = quota.astype(jnp.float32)
     unfinished = jnp.sum((done < quota_f).astype(jnp.float32))
     return pool, c1 + jnp.sum(c2), unfinished
@@ -296,18 +358,46 @@ def _compact_tail(pool, idx, valid, quota_f):
     the source, so radiance lives in exactly one pool at all times (every
     stage's acc rows scatter-add by pix at pass end). idx is padded to a
     fixed ladder width with arbitrary duplicates; `valid` masks real
-    entries — padding lanes are born retired (done=quota, alive=0, acc=0),
-    and the `.max` scatter ignores their duplicate column ids."""
+    entries — padding lanes are fully zeroed (dead, no radiance, empty
+    park buffers) then marked retired (done=quota), and the `.max` scatter
+    ignores their duplicate column ids."""
     small = jnp.take(pool, idx, axis=1)
     v = valid.astype(jnp.float32)
     moved = jnp.zeros((pool.shape[1],), jnp.float32).at[idx].max(v)
     pool = pool.at[ROW_ACC:ROW_ACC + 3].multiply(1.0 - moved[None])
-    small = small.at[ROW_ALIVE].multiply(v)
+    small = small * v[None]
     small = small.at[V2_ROW_DONE].set(
         jnp.where(valid, small[V2_ROW_DONE], quota_f)
     )
-    small = small.at[ROW_ACC:ROW_ACC + 3].multiply(v[None])
+    if small.shape[0] > V3_ROW_STARTED:  # parked layout: padding lanes
+        small = small.at[V3_ROW_STARTED].set(  # must not issue samples
+            jnp.where(valid, small[V3_ROW_STARTED], quota_f)
+        )
     return pool, small
+
+
+def make_pool_v2(npix: int, n_pad: int, k_pass: int,
+                 park_k: int | None = None):
+    """Fresh pixel-pinned pool: slot i owns pixel min(i, npix-1); padding
+    slots (i >= npix) are born fully retired so they never issue samples
+    and contribute zero radiance. park_k defaults to the module's PARK_K
+    at call time (tests lower it for the Pallas interpreter)."""
+    if park_k is None:
+        from path_tracer_tpu.ops.pallas import portal as _pm
+
+        park_k = _pm.PARK_K
+    pool = jnp.zeros((pool_rows(park_k), n_pad), jnp.float32)
+    pool = pool.at[ROW_PREV].set(-1.0)
+    pool = pool.at[V2_ROW_PIX].set(
+        jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1))
+    )
+    retired = jnp.where(
+        jnp.arange(n_pad) < npix, 0.0, float(k_pass)
+    ).astype(jnp.float32)
+    pool = pool.at[V2_ROW_DONE].set(retired)
+    if park_k:
+        pool = pool.at[V3_ROW_STARTED].set(retired)
+    return pool
 
 
 def drive_pool_v2(
@@ -324,6 +414,7 @@ def drive_pool_v2(
     check_every: int = 4,
     ladder=TAIL_LADDER,
     step_cap: int | None = None,
+    park_k: int | None = None,
     adaptive_polls: bool = True,
     on_check=None,
 ):
@@ -337,6 +428,11 @@ def drive_pool_v2(
     (profiling hook)."""
     if step_cap is None:
         step_cap = int(os.environ.get("PT_TPU_STEP_CAP", "32"))
+    if park_k is None:  # infer the layout from the pool's row count
+        from path_tracer_tpu.ops.pallas.portal import BUF_ROWS, V3_BUF_BASE
+
+        park_k = (pool.shape[0] - V3_BUF_BASE) // BUF_ROWS \
+            if pool.shape[0] > V2_ROWS else 0
     quota = jnp.int32(k_pass)
     sb = jnp.int32(sample_base)
     stages = []
@@ -370,6 +466,7 @@ def drive_pool_v2(
                 jnp.int32(step_cap),
                 portal_key=portal_key, cam_key=cam_key,
                 max_depth=max_depth, rr_start_depth=rr_start_depth,
+                park_k=park_k,
             )
             rays = rays + r
             cycle += 1
@@ -429,19 +526,7 @@ def make_portal_pass_runner_v2(
             jax.random.key_data(pass_key).reshape(-1)[-1].astype(jnp.int32)
         )
 
-        pool = jnp.zeros((V2_ROWS, n_pad), jnp.float32)
-        pool = pool.at[ROW_PREV].set(-1.0)
-        pool = pool.at[V2_ROW_PIX].set(
-            jnp.minimum(
-                jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1)
-            )
-        )
-        # padding slots are born fully retired (their acc rows stay zero)
-        pool = pool.at[V2_ROW_DONE].set(
-            jnp.where(
-                jnp.arange(n_pad) < npix, 0.0, float(k_pass)
-            ).astype(jnp.float32)
-        )
+        pool = make_pool_v2(npix, n_pad, k_pass)
 
         stages, rays = drive_pool_v2(
             pool, k_pass, sample_base, seed0, scene_bufs["kernel"],

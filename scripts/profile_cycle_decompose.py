@@ -2,6 +2,10 @@
 the REAL render workload (each op synced separately; the ~25 ms fetch
 round-trip inflates both equally, so read the difference/trend).
 
+NOTE: measures the UNPARKED (park_k=0) flow — a baseline tool. The
+production scheduler parks frozen paths K-deep (see render.portal) and
+resolves active+parked in one concatenated sweep.
+
 Usage: JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/profile_cycle_decompose.py [quota] [cycles]
 """
 

@@ -39,12 +39,9 @@ def main():
     npix = res.num_pixels
     n_pad = _round_block(npix)
 
-    pool = jnp.zeros((V2_ROWS, n_pad), jnp.float32)
-    pool = pool.at[ROW_PREV].set(-1.0)
-    pool = pool.at[V2_ROW_PIX].set(
-        jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1)))
-    pool = pool.at[V2_ROW_DONE].set(
-        jnp.where(jnp.arange(n_pad) < npix, 0.0, float(quota)).astype(jnp.float32))
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pool = make_pool_v2(npix, n_pad, quota)
 
     t_all = time.perf_counter()
     last = [time.perf_counter()]

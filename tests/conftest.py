@@ -38,6 +38,14 @@ from path_tracer_tpu.ops.pallas import trace_v2 as _tv2  # noqa: E402
 _tv2.SYNC_EVERY_V3 = 2
 _tk.WHILE_UNROLL = 2
 
+# The portal v2 scheduler's parked-path buffers multiply the cheap
+# kernel's loop-carried state; the interpreter compiles/executes that
+# pathologically slowly at the production depth. 1 still exercises every
+# park/unpark path (park, stall-when-full, ready-reactivation).
+from path_tracer_tpu.ops.pallas import portal as _portal  # noqa: E402
+
+_portal.PARK_K = 1
+
 
 @pytest.fixture(scope="session")
 def scenes_dir():

@@ -379,17 +379,10 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
     n_pad = rportal._round_block(npix)
     assert n_pad > 2048  # the ladder has somewhere to squeeze the tail
 
+    from path_tracer_tpu.render.portal import make_pool_v2
+
     def fresh_pool():
-        pool = jnp.zeros((portal_mod.V2_ROWS, n_pad), jnp.float32)
-        pool = pool.at[portal_mod.ROW_PREV].set(-1.0)
-        pool = pool.at[portal_mod.V2_ROW_PIX].set(
-            jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32), npix - 1)
-        )
-        return pool.at[portal_mod.V2_ROW_DONE].set(
-            jnp.where(jnp.arange(n_pad) < npix, 0.0, float(spp)).astype(
-                jnp.float32
-            )
-        )
+        return make_pool_v2(npix, n_pad, spp)
 
     def drive(ladder):
         with pltpu.force_tpu_interpret_mode():
@@ -429,3 +422,39 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
     accum0 = ref[A0:A1][:, :npix].T
     assert np.isfinite(accum).all() and (accum >= 0).all()
     assert abs(accum.mean() - accum0.mean()) < 0.15 * max(accum0.mean(), 1e-6)
+
+
+def test_resolve_const_mat_tiles_bitwise(mesh_packed):
+    """The const-material tile path (8 one-hot reads replaced by first-row
+    broadcasts, gated on kernel_scene_buffers' uniformity meta) is BITWISE
+    identical to the general path — same uniforms, same rays."""
+    kscene, meta = kernel_scene_buffers(mesh_packed, with_meta=True)
+    flags = meta["tile_uniform_mat"]
+    assert len(flags) > 0 and all(flags)  # the OFF mesh is single-material
+
+    n = 512
+    lo, hi = scene_bounds_mesh(mesh_packed)
+    o, d = _random_rays(jax.random.PRNGKey(21), n, lo, hi)
+    u = jax.random.uniform(jax.random.PRNGKey(22), (4, n), jnp.float32)
+    depth = jax.random.randint(
+        jax.random.PRNGKey(23), (1, n), 0, 12
+    ).astype(jnp.float32)
+    thr = jnp.full((3, n), 0.7, jnp.float32)
+    acc0 = jnp.zeros((3, n), jnp.float32)
+    alive = jnp.ones((1, n), jnp.float32)
+    prev = jnp.full((1, n), -1.0, jnp.float32)
+
+    def run(cm):
+        with pltpu.force_tpu_interpret_mode():
+            return trace_pallas_resolve(
+                o.T, d.T, thr, acc0, alive, prev, depth, kscene, 7,
+                max_depth=12, rr_start_depth=5, block=256, uniforms=u,
+                const_mat_tiles=cm,
+            )
+
+    ref = run(None)
+    got = run(flags)
+    # some ray must actually hit the mesh for the test to mean anything
+    assert float(jnp.sum(ref[7])) > 0
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
