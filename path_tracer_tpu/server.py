@@ -169,20 +169,35 @@ def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
     out = os.fdopen(os.dup(1), "w")
     os.dup2(2, 1)
     sys.stdout = sys.stderr
-    if os.environ.get("PT_TPU_CPU"):
-        # JAX_PLATFORMS env can be re-pinned by site hooks after import;
-        # the config route sticks (tests run workers on the CPU backend)
-        import jax
 
-        jax.config.update("jax_platforms", "cpu")
-        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        if cache:
-            # CPU compiles also persist-cache; respawned workers then skip
-            # recompiling (the env var alone can be lost to site hooks).
-            # Small-shape CPU programs compile in <1 s each — below the
-            # default persist threshold — so cache everything.
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax_ready = False
+
+    def ensure_jax():
+        # LAZY: even `import jax` can block for minutes during a tunnel
+        # outage (the site hooks register the remote TPU plugin), which
+        # would stall jobs that never touch jax — the watchdog test's
+        # echo/hang hooks and the kill/respawn protocol must stay
+        # import-free. First render/warm job pays this instead.
+        nonlocal jax_ready
+        if jax_ready:
+            return
+        jax_ready = True
+        if os.environ.get("PT_TPU_CPU"):
+            # JAX_PLATFORMS env can be re-pinned by site hooks after
+            # import; the config route sticks (tests use CPU workers)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            cache = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            if cache:
+                # CPU compiles also persist-cache; respawned workers then
+                # skip recompiling (the env var alone can be lost to site
+                # hooks). Small-shape CPU programs compile in <1 s each —
+                # below the default persist threshold — so cache all.
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0
+                )
 
     def send(msg: dict):
         out.write(json.dumps(msg) + "\n")
@@ -197,6 +212,7 @@ def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
             if "__warm__" in job:
                 # one spec at a time, with a progress line after each, so a
                 # multi-spec cold warm keeps resetting the watchdog clock
+                ensure_jax()
                 specs = list(job["__warm__"])
                 for i, spec in enumerate(specs):
                     warm([spec], scene_dir, mesh_dir)
@@ -210,6 +226,7 @@ def worker_loop(scene_dir: str, mesh_dir: str, out_dir: str) -> None:
                 send({"done": True, "echo": job["__test_echo__"],
                       "pid": os.getpid()})
                 continue
+            ensure_jax()
             send(_render_job(job, send, scene_dir, mesh_dir, out_dir))
         except Exception as e:
             send({"error": f"{type(e).__name__}: {e}"})
@@ -225,11 +242,24 @@ class _Worker:
 
     def _spawn(self):
         scene_dir, mesh_dir, out_dir = self._args
+        # run server.py by PATH, not -m: `-m path_tracer_tpu.server` first
+        # imports the package __init__, which imports jax — and a jax
+        # import can block for MINUTES during a tunnel outage, stalling
+        # even jobs that never touch jax (the watchdog protocol itself).
+        # server.py's top-level imports are stdlib-only; everything heavy
+        # is lazy. PYTHONPATH carries the repo root for those lazy imports.
+        here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(here)]
+            + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+        )
         self._proc = subprocess.Popen(
-            [sys.executable, "-m", "path_tracer_tpu.server", "--worker",
+            [sys.executable, os.path.join(here, "server.py"), "--worker",
              "--scene-dir", scene_dir, "--mesh-dir", mesh_dir,
              "--out-dir", out_dir],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            env=env,
         )
         self._lines = queue.Queue()
 
