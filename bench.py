@@ -63,6 +63,7 @@ def main():
         # a fresh multi-minute tunnel compile for zero benchmark effect)
         return integrator.render_pass(
             bufs, cam, accum, jnp.int32(i), base_key,
+            sample_base=jnp.int32(i * k),
             width=width, height=height, samples_in_pass=k,
             max_depth=cfg.max_depth, rr_start_depth=cfg.rr_start_depth,
             mode=mode,

@@ -609,7 +609,7 @@ def _make_kernel(
             ]
 
             def tri_block(lo, size, rays=None, lane=(0, None),
-                          const_mat=False):
+                          const_mat=False, lite=False):
                 """Intersect triangles [lo, lo+size) (static slice) against
                 the ray lane window `lane=(start, width)` (whole block when
                 width is None); rays=(o, d, m, prev) defaults to the full
@@ -617,7 +617,10 @@ def _make_kernel(
                 emis3, rtype, order), each [1, width]. const_mat: the
                 slice's triangles share color/emis/rtype (static fact from
                 kernel_scene_buffers meta) — read them once from the first
-                row instead of 8 one-hot reductions."""
+                row instead of 8 one-hot reductions. lite: return only
+                (d_t, winner ROW index [1,width]) — the caller defers all
+                feature reads to one fetch after merging tiles (see
+                fetch_tri_features)."""
                 ls, lw = lane
                 lw = B if lw is None else lw
                 ob, db, mb, prevb = rays if rays is not None else (o, d, m, prev)
@@ -666,6 +669,9 @@ def _make_kernel(
                 if pretest:
                     valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
                 t_tri = jnp.where(valid, t_, BIG)
+                if lite:
+                    d_t, _, imin = _first_min_sublane(t_tri, idx)
+                    return d_t, imin
                 d_t, oh_t, _ = _first_min_sublane(t_tri, idx)
 
                 def read_t(tab, k):
@@ -711,6 +717,35 @@ def _make_kernel(
 
             d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
 
+            def read_s(tab, k):  # [1,B]
+                return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
+
+            def _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord):
+                order_s = read_s(sph_order, 0)
+                sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < triord))
+                t = jnp.where(sph_wins, d_s, d_t)
+                found = (t < BIG) & alive
+
+                point = [o[k] + d[k] * t for k in range(3)]
+                sn = [point[k] - read_s(sph_center, k) for k in range(3)]
+                sl = jax.lax.rsqrt(
+                    jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+                )
+                nrm = [
+                    jnp.where(sph_wins, sn[k] * sl, trin[k]) for k in range(3)
+                ]
+                color = [
+                    jnp.where(sph_wins, read_s(sph_color, k), tric[k])
+                    for k in range(3)
+                ]
+                emis = [
+                    jnp.where(sph_wins, read_s(sph_emis, k), trie[k])
+                    for k in range(3)
+                ]
+                rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
+                new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
+                return found, point, nrm, color, emis, rtype, new_prev
+
             if not n_tiles:
                 d_t, i_t, trin, tric, trie, trirt, triord = tri_block(0, T)
             else:
@@ -738,8 +773,88 @@ def _make_kernel(
                     t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
                 tl_poss = (t_ex >= t_en) & (t_ex >= 0.0) & alive  # [C,B]
 
-                base_res = tri_block(0, tile_base)
                 CW = CULL_CHUNK if 0 < CULL_CHUNK < B else B
+                if CW == B:
+                    # DEFERRED-FETCH sweep (production): tiles carry only
+                    # (closest t, winner row); the 12 per-winner feature
+                    # rows are fetched ONCE after the merge as 3 exact
+                    # bf16-split one-hot matmuls per slice (MXU) — the
+                    # per-tile one-hot reductions were ~20% of the whole
+                    # resolve's VPU time. Bitwise-identical: the bf16
+                    # split f = hi+mid+lo is exact (8+8+8 = 24 mantissa
+                    # bits) and the one-hot leaves one product per lane.
+                    st = tri_block(0, tile_base, lite=True)
+                    for c in range(n_tiles):
+                        t_lo = tile_base + c * TRI_TILE
+                        if FORCE_TILES:
+                            res = tri_block(t_lo, TRI_TILE, lite=True)
+                        else:
+                            bound = jnp.minimum(st[0], d_s)
+                            cand = tl_poss[c][None, :] & (
+                                t_en[c][None, :] < bound
+                            )
+                            any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
+                            res = jax.lax.cond(
+                                any_hit,
+                                lambda lo2=t_lo: tri_block(
+                                    lo2, TRI_TILE, lite=True),
+                                lambda: (jnp.full((1, B), BIG),
+                                         jnp.full((1, B), BIG)),
+                            )
+                        better = res[0] < st[0]
+                        st = (jnp.where(better, res[0], st[0]),
+                              jnp.where(better, res[1], st[1]))
+                    d_t, win_row = st
+
+                    def dot3(feats, ohc):
+                        # exact f32 one-hot gather on the MXU: split the
+                        # feature rows into 3 bf16 parts (hi/mid/lo — an
+                        # exact decomposition) and accumulate in f32
+                        hi = feats.astype(jnp.bfloat16)
+                        r1 = feats - hi.astype(jnp.float32)
+                        mid = r1.astype(jnp.bfloat16)
+                        lo3 = (r1 - mid.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        ob = ohc.astype(jnp.bfloat16)
+                        dn = (((1,), (0,)), ((), ()))
+                        out = jax.lax.dot_general(
+                            hi, ob, dn, preferred_element_type=jnp.float32)
+                        out = out + jax.lax.dot_general(
+                            mid, ob, dn, preferred_element_type=jnp.float32)
+                        return out + jax.lax.dot_general(
+                            lo3, ob, dn, preferred_element_type=jnp.float32)
+
+                    feat12 = jnp.zeros((12, B), jnp.float32)
+                    slices = ([(0, tile_base)] if tile_base else []) + [
+                        (tile_base + c * TRI_TILE, TRI_TILE)
+                        for c in range(n_tiles)
+                    ]
+                    for lo2, size in slices:
+                        rows = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (size, B), 0
+                            ).astype(jnp.float32) + float(lo2)
+                        )
+                        ohc = (rows == win_row).astype(jnp.float32)
+                        feats = jnp.concatenate([
+                            tri_normal[:, lo2:lo2 + size],
+                            tri_color[:, lo2:lo2 + size],
+                            tri_emis[:, lo2:lo2 + size],
+                            tri_rtype[:, lo2:lo2 + size],
+                            tri_pid[:, lo2:lo2 + size],
+                            tri_order[:, lo2:lo2 + size],
+                        ], axis=0)
+                        feat12 = feat12 + dot3(feats, ohc)
+                    trin = [feat12[k][None, :] for k in range(3)]
+                    tric = [feat12[3 + k][None, :] for k in range(3)]
+                    trie = [feat12[6 + k][None, :] for k in range(3)]
+                    trirt = feat12[9][None, :]
+                    i_t = feat12[10][None, :]
+                    triord = feat12[11][None, :]
+                    return _merge_sph_tri(
+                        d_t, i_t, trin, tric, trie, trirt, triord)
+
+                base_res = tri_block(0, tile_base)
                 chunk_states = []
                 for j in range(B // CW):
                     ls = j * CW
@@ -817,31 +932,7 @@ def _make_kernel(
                 else:
                     (d_t, i_t, trin, tric, trie, trirt, triord) = chunk_states[0]
 
-            def read_s(tab, k):  # [1,B]
-                return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
-
-            order_s = read_s(sph_order, 0)
-            sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < triord))
-            t = jnp.where(sph_wins, d_s, d_t)
-            found = (t < BIG) & alive
-
-            point = [o[k] + d[k] * t for k in range(3)]
-            sn = [point[k] - read_s(sph_center, k) for k in range(3)]
-            sl = jax.lax.rsqrt(
-                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
-            )
-            nrm = [jnp.where(sph_wins, sn[k] * sl, trin[k]) for k in range(3)]
-            color = [
-                jnp.where(sph_wins, read_s(sph_color, k), tric[k])
-                for k in range(3)
-            ]
-            emis = [
-                jnp.where(sph_wins, read_s(sph_emis, k), trie[k])
-                for k in range(3)
-            ]
-            rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
-            new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
-            return found, point, nrm, color, emis, rtype, new_prev
+            return _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord)
 
         if regen is not None:
             cam_consts, quota_cap = regen

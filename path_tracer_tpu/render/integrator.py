@@ -274,8 +274,8 @@ def render_pass(
     accum,
     pass_idx,
     base_key,
-    sample_base=None,
     *,
+    sample_base,
     width: int,
     height: int,
     samples_in_pass: int,
@@ -298,9 +298,9 @@ def render_pass(
     what lets the Pallas tile-culling skip geometry per block. accum stays
     in permuted order (callers unpermute once at finalize).
     sample_base: global index of this pass's first sample (drives the 2x2
-    subpixel grid). Defaults to pass_idx*k — WRONG for a remainder pass
-    whose k is smaller than the earlier passes'; schedulers with ragged
-    passes must pass it explicitly.
+    subpixel grid). KEYWORD-REQUIRED: the natural-looking default
+    (pass_idx*k) is wrong for a remainder pass whose k is smaller than the
+    earlier passes' — every scheduler must state the base it means.
     quota_rt (regen modes only): RUNTIME samples-per-lane for this pass.
     When given, samples_in_pass acts only as the static compile cap —
     callers can vary per-pass sample counts (ragged remainders, any
@@ -309,8 +309,6 @@ def render_pass(
     """
     npix = width * height
     k = samples_in_pass
-    if sample_base is None:
-        sample_base = pass_idx * k
     base = jnp.arange(npix, dtype=jnp.int32) if pixel_perm is None else pixel_perm
     key = rng.chunk_key(base_key, pass_idx)
 

@@ -450,7 +450,8 @@ def render(
                 accum,
                 jnp.int32(pass_idx),
                 base_key,
-                jnp.int32(pass_idx * k),  # global sample base (k = FULL pass)
+                # global sample base (k = FULL pass size, not k_pass)
+                sample_base=jnp.int32(pass_idx * k),
                 width=res.width,
                 height=res.height,
                 samples_in_pass=regen_cap if regen_mode else k_pass,

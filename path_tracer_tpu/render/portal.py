@@ -34,7 +34,7 @@ from path_tracer_tpu.ops.pallas.portal import (
     ROW_THR, ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROWS, V3_ROW_STARTED,
     pool_rows, trace_cheap_blocked, trace_cheap_regen,
 )
-from path_tracer_tpu.ops.pallas.trace_kernel import trace_pallas_resolve
+from path_tracer_tpu.ops.pallas.trace_kernel import BIG, trace_pallas_resolve
 
 CHEAP_BLOCK = 2048
 RESOLVE_BLOCK = 1024
@@ -228,6 +228,7 @@ def make_portal_pass_runner(
     jax.jit,
     static_argnames=(
         "portal_key", "cam_key", "max_depth", "rr_start_depth", "park_k",
+        "resolve_bufs", "sort_lanes",
     ),
     donate_argnums=(0,),
 )
@@ -244,6 +245,8 @@ def portal_cycle_v2(
     max_depth: int,
     rr_start_depth: int,
     park_k: int = 0,
+    resolve_bufs: int | None = None,
+    sort_lanes: int = 0,
 ):
     """One v2 cycle: cheap-advance-with-regen until every lane is frozen
     (park_k > 0: parked K-deep), quota-done, or step-capped, then ONE
@@ -260,11 +263,75 @@ def portal_cycle_v2(
         max_depth=max_depth, rr_start_depth=rr_start_depth,
         block=CHEAP_BLOCK, park_k=park_k,
     )
+    pool, c2, unfinished = portal_resolve_phase(
+        pool, quota, cycle_seed, kscene,
+        portal_key=portal_key, max_depth=max_depth,
+        rr_start_depth=rr_start_depth, park_k=park_k,
+        resolve_bufs=resolve_bufs, sort_lanes=sort_lanes,
+    )
+    return pool, c1 + c2, unfinished
+
+
+def _resolve_sort_order(o, d, alive, kscene, mode: int):
+    """[N] permutation grouping resolve lanes so RESOLVE_BLOCK-sized
+    blocks become coherent: dead lanes cluster into blocks the kernel's
+    all-dead skip eliminates outright (mode >= 1), and alive lanes group
+    by their candidate-tile slab mask so the kernel's per-tile conds can
+    fire (mode >= 2; the tile-candidacy study measured executed
+    (block,tile) fraction 100% -> 39% under the mask key — see PERF.md).
+    The argsort is stable, so lanes with equal keys keep their original
+    (pixel-local) order."""
+    dead = (alive[0] <= 0.0).astype(jnp.int32)
+    key = dead * jnp.int32(1 << 30)
+    if mode >= 2 and "tile_lo" in kscene:
+        lo = kscene["tile_lo"]  # [3, C]
+        hi = kscene["tile_hi"]
+        n_tiles = lo.shape[1]
+        inv = [
+            1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+            for k in range(3)
+        ]
+        t_en = jnp.zeros((n_tiles, o.shape[1]), jnp.float32)
+        t_ex = jnp.full((n_tiles, o.shape[1]), BIG, jnp.float32)
+        for k in range(3):
+            ta = (lo[k][:, None] - o[k][None, :]) * inv[k][None, :]
+            tb = (hi[k][:, None] - o[k][None, :]) * inv[k][None, :]
+            t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+            t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+        poss = (t_ex >= t_en) & (t_ex >= 0.0)  # [C, N]
+        bits = jnp.int32(1) << jnp.arange(n_tiles, dtype=jnp.int32)
+        key = key + jnp.sum(
+            jnp.where(poss, bits[:, None], 0), axis=0, dtype=jnp.int32)
+    return jnp.argsort(key, stable=True)
+
+
+def portal_resolve_phase(
+    pool,
+    quota,
+    cycle_seed,
+    kscene: dict,
+    *,
+    portal_key: str,
+    max_depth: int,
+    rr_start_depth: int,
+    park_k: int = 0,
+    resolve_bufs: int | None = None,
+    sort_lanes: int = 0,
+):
+    """The resolve half of a v2 cycle: one full-scene bounce over the
+    active path and the first `resolve_bufs` parked buffers (default:
+    all), then the pool bookkeeping (retire ended paths, flip surviving
+    parked paths to ready). Buffers beyond `resolve_bufs` stay parked
+    untouched (BUF_STATE 1) — lanes whose buffers are all frozen simply
+    stall until a wider resolve runs, so a scheduler may alternate narrow
+    and full resolves when the deeper buffers run mostly empty.
+    Returns (pool', rays, unfinished)."""
     from path_tracer_tpu.ops.pallas.portal import (
-        BUF_DEPTH, BUF_O, BUF_PREV, BUF_STATE, BUF_THR, buf_row,
+        BUF_DEPTH, BUF_O, BUF_PREV, BUF_ROWS, BUF_STATE, BUF_THR, buf_row,
     )
     from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
 
+    nb = park_k if resolve_bufs is None else min(resolve_bufs, park_k)
     n = pool.shape[1]
     zeros3 = jnp.zeros((3, n), jnp.float32)
 
@@ -275,21 +342,32 @@ def portal_cycle_v2(
         return jnp.concatenate(parts, axis=1)
 
     o_in = cat([pool[ROW_O:ROW_O + 3]]
-               + [buf(j, BUF_O, 6)[:3] for j in range(park_k)])
+               + [buf(j, BUF_O, 6)[:3] for j in range(nb)])
     d_in = cat([pool[ROW_D:ROW_D + 3]]
-               + [buf(j, BUF_O, 6)[3:] for j in range(park_k)])
+               + [buf(j, BUF_O, 6)[3:] for j in range(nb)])
     thr_in = cat([pool[ROW_THR:ROW_THR + 3]]
-                 + [buf(j, BUF_THR, 3) for j in range(park_k)])
-    acc_in = cat([pool[ROW_ACC:ROW_ACC + 3]] + [zeros3] * park_k)
-    p_frozen = [buf(j, BUF_STATE) > 0.5 for j in range(park_k)]
+                 + [buf(j, BUF_THR, 3) for j in range(nb)])
+    acc_in = cat([pool[ROW_ACC:ROW_ACC + 3]] + [zeros3] * nb)
+    p_frozen = [buf(j, BUF_STATE) > 0.5 for j in range(nb)]
     p_frozen = [pf & (buf(j, BUF_STATE) < 1.5)
                 for j, pf in enumerate(p_frozen)]
     alive_in = cat([pool[ROW_ALIVE:ROW_ALIVE + 1]]
                    + [pf.astype(jnp.float32) for pf in p_frozen])
     prev_in = cat([pool[ROW_PREV:ROW_PREV + 1]]
-                  + [buf(j, BUF_PREV) for j in range(park_k)])
+                  + [buf(j, BUF_PREV) for j in range(nb)])
     depth_in = cat([pool[ROW_DEPTH:ROW_DEPTH + 1]]
-                   + [buf(j, BUF_DEPTH) for j in range(park_k)])
+                   + [buf(j, BUF_DEPTH) for j in range(nb)])
+
+    if sort_lanes:
+        order = _resolve_sort_order(o_in, d_in, alive_in, kscene,
+                                    sort_lanes)
+        unsort = jnp.argsort(order)
+        # one [15, N] gather in, one out — cheaper than 7 separate takes
+        st = jnp.concatenate([o_in, d_in, thr_in, acc_in, alive_in,
+                              prev_in, depth_in], axis=0)[:, order]
+        (o_in, d_in, thr_in, acc_in) = (
+            st[0:3], st[3:6], st[6:9], st[9:12])
+        alive_in, prev_in, depth_in = st[12:13], st[13:14], st[14:15]
 
     # portal_key is static here, so this is a trace-time constant lookup
     meta = TILE_META.get(portal_key, {})
@@ -300,6 +378,11 @@ def portal_cycle_v2(
         block=RESOLVE_BLOCK,
         const_mat_tiles=meta.get("tile_uniform_mat"),
     )
+    if sort_lanes:
+        st = jnp.concatenate([o, d, thr, acc, alive, prev, depth],
+                             axis=0)[:, unsort]
+        o, d, thr, acc = st[0:3], st[3:6], st[6:9], st[9:12]
+        alive, prev, depth = st[12:13], st[13:14], st[14:15]
 
     def part(x, j):  # part 0 = active path, part j>=1 = buffer j-1
         return x[:, j * n:(j + 1) * n]
@@ -315,6 +398,9 @@ def portal_cycle_v2(
         rows.append(pool[V3_ROW_STARTED:V3_ROW_STARTED + 1])
         acc_extra = jnp.zeros((3, n), jnp.float32)
         for j in range(park_k):
+            if j >= nb:  # untouched buffer: copy its 12 rows verbatim
+                rows.append(pool[buf_row(j):buf_row(j) + BUF_ROWS])
+                continue
             pj_alive = part(alive, j + 1)[0] > 0.0
             proc = p_frozen[j][0]
             # parked radiance lives in the slot acc (shared across the
@@ -339,7 +425,61 @@ def portal_cycle_v2(
     pool = jnp.concatenate(rows, axis=0)
     quota_f = quota.astype(jnp.float32)
     unfinished = jnp.sum((done < quota_f).astype(jnp.float32))
-    return pool, c1 + jnp.sum(c2), unfinished
+    return pool, jnp.sum(c2), unfinished
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_cycles", "portal_key", "cam_key", "max_depth", "rr_start_depth",
+        "park_k", "resolve_bufs", "sort_lanes",
+    ),
+    donate_argnums=(0,),
+)
+def portal_cycles_v2(
+    pool,
+    quota,
+    sample_base,
+    seed0,
+    cycle0,
+    kscene: dict,
+    step_cap=0,
+    *,
+    n_cycles: int,
+    portal_key: str,
+    cam_key: str,
+    max_depth: int,
+    rr_start_depth: int,
+    park_k: int = 0,
+    resolve_bufs: int | None = None,
+    sort_lanes: int = 0,
+):
+    """`n_cycles` v2 cycles in ONE dispatch (fori_loop over cheap+resolve).
+    Small-pool cycles run in ~2 ms but each separate dispatch costs ~1.75 ms
+    through the remote-TPU tunnel — the compacted tail pays hundreds of
+    them. Seeds advance as if portal_cycle_v2 had been called per cycle
+    with cycle index cycle0+i. Returns (pool', rays, unfinished)."""
+
+    def body(i, carry):
+        pool, rays, _ = carry
+        seed = seed0 + 2 * (cycle0 + i) + jnp.int32(1)
+        pool, c1 = trace_cheap_regen(
+            pool, portal_key, cam_key, seed, quota, sample_base, step_cap,
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
+            block=CHEAP_BLOCK, park_k=park_k,
+        )
+        pool, c2, unfin = portal_resolve_phase(
+            pool, quota, seed, kscene,
+            portal_key=portal_key, max_depth=max_depth,
+            rr_start_depth=rr_start_depth, park_k=park_k,
+            resolve_bufs=resolve_bufs, sort_lanes=sort_lanes,
+        )
+        return pool, rays + c1 + c2, unfin
+
+    return jax.lax.fori_loop(
+        0, n_cycles, body,
+        (pool, jnp.float32(0.0), jnp.float32(pool.shape[1])),
+    )
 
 
 # tail-compaction ladder: fixed pool widths (compile-once shapes) the
@@ -417,6 +557,9 @@ def drive_pool_v2(
     park_k: int | None = None,
     adaptive_polls: bool = True,
     on_check=None,
+    narrow_bufs: int | None = None,
+    full_every: int = 4,
+    sort_lanes: int | None = None,
 ):
     """Cycle a pixel-pinned pool until every slot retires its quota,
     compacting the unfinished tail down the width `ladder` as it shrinks.
@@ -425,7 +568,25 @@ def drive_pool_v2(
     original plus one per compaction); summing every stage's acc rows keyed
     by its V2_ROW_PIX row reconstructs the pass radiance exactly.
     `on_check(cycle, width, unfin)` is called after each termination poll
-    (profiling hook)."""
+    (profiling hook).
+
+    narrow_bufs (requires park_k > 0): most cycles resolve only the active
+    path + the first `narrow_bufs` parked buffers; every `full_every`-th
+    cycle resolves everything (deeper buffers fill slowly — sweeping them
+    every cycle is mostly dead vector work). None = always full.
+
+    sort_lanes: permute the resolve input so blocks become coherent
+    (1 = dead-lane partition, 2 = + candidate-tile-mask grouping; see
+    _resolve_sort_order). None reads PT_TPU_RESOLVE_SORT (default 0)."""
+    if sort_lanes is None:
+        sort_lanes = int(os.environ.get("PT_TPU_RESOLVE_SORT", "0"))
+    if narrow_bufs is None:
+        env_nb = os.environ.get("PT_TPU_NARROW_BUFS")
+        if env_nb is not None:
+            narrow_bufs = int(env_nb)
+            full_every = int(os.environ.get("PT_TPU_FULL_EVERY", full_every))
+            if narrow_bufs < 0:  # -1 disables via env
+                narrow_bufs = None
     if step_cap is None:
         # swept on hardware with PARK_K=3: 32 -> 97.1, 64 -> 99.3 Mray/s,
         # 128 -> worse (fewer resolve rounds than parked work demands)
@@ -462,16 +623,52 @@ def drive_pool_v2(
             steps = 4 * check_every
         else:
             steps = 8 * check_every
-        for _ in range(steps):
-            pool, r, unfin = portal_cycle_v2(
-                pool, quota, sb, seed0 + jnp.int32(2 * cycle + 1), kscene,
-                jnp.int32(step_cap),
-                portal_key=portal_key, cam_key=cam_key,
-                max_depth=max_depth, rr_start_depth=rr_start_depth,
-                park_k=park_k,
-            )
+        # fusing cycles into one dispatch only pays where dispatch overhead
+        # rivals the cycle (~1.75 ms through the remote-TPU tunnel); on CPU
+        # (tests, interpreter) the fori-wrapped program compiles
+        # pathologically slowly, so stay unfused there
+        fuse = jax.default_backend() == "tpu"
+        done_steps = 0
+        while done_steps < steps:
+            rem = steps - done_steps
+            rb = None
+            if narrow_bufs is None or not park_k:
+                n = rem
+            else:
+                pos = cycle % full_every
+                if pos == full_every - 1:
+                    n = 1  # this cycle is the periodic full resolve
+                else:
+                    n = min(full_every - 1 - pos, rem)
+                    rb = narrow_bufs
+            if w >= 131072 or not fuse:
+                # big-pool cycles are ~50 ms — dispatch overhead is noise
+                # there; one cycle per call keeps the XLA program count
+                # down (scanning pays off only where the ~1.75 ms/dispatch
+                # tunnel cost rivals the cycle itself)
+                n = 1
+            if n == 1:
+                # unfused single cycle: skips the fori_loop wrapper (same
+                # math; the wrapper's only job is amortizing dispatches)
+                pool, r, unfin = portal_cycle_v2(
+                    pool, quota, sb,
+                    seed0 + jnp.int32(2 * cycle + 1), kscene,
+                    jnp.int32(step_cap),
+                    portal_key=portal_key, cam_key=cam_key,
+                    max_depth=max_depth, rr_start_depth=rr_start_depth,
+                    park_k=park_k, resolve_bufs=rb, sort_lanes=sort_lanes,
+                )
+            else:
+                pool, r, unfin = portal_cycles_v2(
+                    pool, quota, sb, seed0, jnp.int32(cycle), kscene,
+                    jnp.int32(step_cap), n_cycles=n,
+                    portal_key=portal_key, cam_key=cam_key,
+                    max_depth=max_depth, rr_start_depth=rr_start_depth,
+                    park_k=park_k, resolve_bufs=rb, sort_lanes=sort_lanes,
+                )
             rays = rays + r
-            cycle += 1
+            cycle += n
+            done_steps += n
         u = int(np.asarray(unfin))
         if on_check is not None:
             on_check(cycle, pool.shape[1], u)

@@ -84,6 +84,8 @@ class ProgressiveRenderer:
             self._accum,
             jnp.int32(self._frame),
             self._key,
+            # equal-sized frames: frame index * per-frame spp
+            sample_base=jnp.int32(self._frame * self.spp_per_frame),
             width=self.resolution.width,
             height=self.resolution.height,
             samples_in_pass=self.spp_per_frame,

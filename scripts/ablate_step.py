@@ -87,8 +87,8 @@ def main():
         accum = jnp.zeros((npix, 3), jnp.float32)
         for i in range(n_passes):
             accum, _ = integrator.render_pass(
-                bufs, cam, accum, jnp.int32(i), base_key, jnp.int32(i * k),
-                width=res.width, height=res.height, samples_in_pass=k,
+                bufs, cam, accum, jnp.int32(i), base_key,
+                sample_base=jnp.int32(i * k), width=res.width, height=res.height, samples_in_pass=k,
                 mode=mode, pixel_perm=perm,
             )
         return accum

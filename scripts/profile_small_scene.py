@@ -46,7 +46,8 @@ def main():
 
     def run_pass(accum, i):
         return integrator.render_pass(
-            bufs, cam, accum, jnp.int32(i), base_key, width=w, height=h,
+            bufs, cam, accum, jnp.int32(i), base_key,
+            sample_base=jnp.int32(i * k), width=w, height=h,
             samples_in_pass=k, max_depth=cfg.max_depth,
             rr_start_depth=cfg.rr_start_depth, mode=mode)
 

@@ -458,3 +458,201 @@ def test_resolve_const_mat_tiles_bitwise(mesh_packed):
     assert float(jnp.sum(ref[7])) > 0
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _synthetic_portal_scene() -> "SceneDescriptor":
+    """A portal-eligible scene ~11x cheaper to interpret than mesh.json:
+    a 72-triangle bumpy plate (>= PORTAL_MIN_TRIS) facing the default
+    camera, over a floor sphere and under a light sphere. Primaries all
+    freeze at the plate's AABB, so the full v2 freeze/park/resolve
+    machinery runs, but the interpreted resolve sweeps 72 rows, not 824."""
+    from path_tracer_tpu.models.geometry import Mesh
+    from path_tracer_tpu.models.material import Material, ReflectType
+    from path_tracer_tpu.models.scene import SceneDescriptor, SceneObject
+
+    g = np.random.default_rng(3)
+    nx = 6  # 6x6 quads -> 72 triangles
+    xs = np.linspace(-3.0, 3.0, nx + 1)
+    z = -6.0 + g.uniform(-0.3, 0.3, (nx + 1, nx + 1))
+    tris = []
+    for i in range(nx):
+        for j in range(nx):
+            p = [np.array([xs[a], xs[b], z[a, b]], np.float32)
+                 for a, b in ((i, j), (i + 1, j), (i, j + 1), (i + 1, j + 1))]
+            tris.append(np.stack([p[0], p[1], p[2]]))
+            tris.append(np.stack([p[1], p[3], p[2]]))
+    plate = Mesh.from_triangles(np.stack(tris).astype(np.float32))
+
+    def mat(color, emis=(0, 0, 0)):
+        return Material(np.asarray(color, np.float32),
+                        np.asarray(emis, np.float32), ReflectType.DIFFUSE)
+
+    return SceneDescriptor(id="synth-portal", objects=[
+        # small emissive sphere IN VIEW in front of the plate: depth-1
+        # renders get nonzero first-hit radiance
+        SceneObject.sphere((1.2, 0.8, -4.3), 0.6,
+                           mat((1, 1, 1), (10, 10, 10))),
+        SceneObject.sphere((0.0, -104.0, -6.0), 100.0, mat((0.6, 0.6, 0.6))),
+        SceneObject.from_mesh(np.zeros(3, np.float32), plate,
+                              mat((0.75, 0.55, 0.35))),
+    ])
+
+
+@pytest.fixture(scope="module")
+def synth_portal():
+    """The synthetic 72-tri scene registered the way
+    pipeline.prepare_scene_and_mode does for portal scenes
+    (pipeline.py:120-147) — bypassing its >V2_MAX_PRIMS gate so a small
+    synthetic mesh exercises the same machinery cheaply. Returns
+    (pkey, cam_key, kernel bufs, npix, n_pad)."""
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        TILE_META, kernel_scene_buffers,
+    )
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.utils.config import Resolution
+
+    scene = _synthetic_portal_scene()
+    res = Resolution.from_height(24)
+    packed = pack_scene(scene)
+    portal = portal_mod.build_portal_consts(packed)
+    assert portal is not None  # 72 tris >= PORTAL_MIN_TRIS
+    pkey = "portal:test-synth-72"
+    trace_v2.register_scene(pkey, portal[0])
+    cam_key = f"{pkey}:cam:{res.width}x{res.height}"
+    trace_v2.register_scene(cam_key, trace_v2.build_camera_consts(
+        scene.camera, res.width, res.height))
+    kbufs, meta = kernel_scene_buffers(packed, with_meta=True)
+    TILE_META[pkey] = meta
+    npix = res.num_pixels
+    return pkey, cam_key, kbufs, npix, rportal._round_block(npix)
+
+
+def test_drive_pool_v2_narrow_resolve(synth_portal):
+    """narrow_bufs: cycles that resolve only the active path (+ prefix of
+    parked buffers) still retire every sample exactly once and leave no
+    path parked at the end."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth = 2, 1  # depth 1: primaries still freeze/park at the plate
+    bufs = {"kernel": kbufs}
+
+    # park_k=1 + step_cap=16: same machinery (freeze, park, narrow skip,
+    # periodic full resolve), ~3x cheaper to compile+interpret than the
+    # production park_k=3/cap-64 shape (measured 158 s vs 490 s)
+    def drive(narrow):
+        with pltpu.force_tpu_interpret_mode():
+            return rportal.drive_pool_v2(
+                make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0,
+                jnp.int32(5),
+                bufs["kernel"], portal_key=pkey, cam_key=cam_key,
+                max_depth=depth, rr_start_depth=5, check_every=1,
+                ladder=(), adaptive_polls=False, step_cap=16,
+                narrow_bufs=0 if narrow else None, full_every=2,
+            )
+
+    stages, rays = drive(True)
+    (pool,) = stages
+    pool = np.asarray(pool)
+    done = pool[portal_mod.V2_ROW_DONE][:npix]
+    assert np.all(done == spp)  # every sample retired exactly once
+    assert float(np.asarray(rays)) >= npix * spp  # every sample traced
+    # no path left parked (BUF_STATE rows are all 0 at exit)
+    assert np.all(pool[portal_mod.buf_row(0, portal_mod.BUF_STATE)] == 0.0)
+    A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
+    acc = pool[A0:A1][:, :npix]
+    assert np.isfinite(acc).all() and (acc >= 0).all() and acc.mean() > 0
+
+
+def test_portal_cycles_v2_fused_matches_unfused(synth_portal):
+    """portal_cycles_v2 (n cycles in one fori dispatch, the tunnel
+    amortization) is bitwise the same pool as n portal_cycle_v2 calls with
+    the per-cycle seeds it claims to reproduce. park_k=0 keeps the fori
+    program small (the parked-buffer resolve is covered by the drive
+    tests; here the property under test is the seed/cycle threading)."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth, n_cycles = 1, 1, 2
+    kw = dict(portal_key=pkey, cam_key=cam_key, max_depth=depth,
+              rr_start_depth=5, park_k=0)
+    seed0, cycle0, cap = jnp.int32(9), 3, jnp.int32(16)
+
+    with pltpu.force_tpu_interpret_mode():
+        pool = make_pool_v2(npix, n_pad, spp, park_k=0)
+        fused, rays_f, unfin_f = rportal.portal_cycles_v2(
+            pool, jnp.int32(spp), jnp.int32(0), seed0, jnp.int32(cycle0),
+            kbufs, cap, n_cycles=n_cycles, **kw)
+        pool = make_pool_v2(npix, n_pad, spp, park_k=0)
+        rays_u = jnp.float32(0.0)
+        for i in range(n_cycles):
+            pool, r, unfin_u = rportal.portal_cycle_v2(
+                pool, jnp.int32(spp), jnp.int32(0),
+                seed0 + jnp.int32(2 * (cycle0 + i) + 1), kbufs, cap, **kw)
+            rays_u = rays_u + r
+
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(pool))
+    assert float(rays_f) == float(rays_u)
+    assert float(unfin_f) == float(unfin_u)
+
+
+def test_resolve_sort_order_groups_lanes():
+    """_resolve_sort_order: dead lanes sort last (into skippable all-dead
+    blocks), zero-candidate lanes first, and alive lanes group by their
+    candidate-tile slab mask; the sort is stable within equal keys."""
+    from path_tracer_tpu.render.portal import _resolve_sort_order
+
+    kscene = {
+        "tile_lo": jnp.array([[0.0, 10.0], [0.0, 0.0], [0.0, 0.0]]),
+        "tile_hi": jnp.array([[1.0, 11.0], [1.0, 1.0], [1.0, 1.0]]),
+    }
+    # rays along +x at y=z=0.5 (through tile0 then tile1) or y=z=5 (miss)
+    o = jnp.array([[-1.0] * 5, [0.5, 0.5, 0.5, 0.5, 5.0],
+                   [0.5, 0.5, 0.5, 0.5, 5.0]])
+    # lane1 hits both tiles; lane2 starts between them (tile1 only);
+    # lane3 duplicates lane1 (stability pair); lane4 misses; lane0 dead
+    o = o.at[0, 2].set(5.0)
+    d = jnp.array([[1.0] * 5, [0.0] * 5, [0.0] * 5])
+    alive = jnp.array([[0.0, 1.0, 1.0, 1.0, 1.0]])
+    order = np.asarray(_resolve_sort_order(o, d, alive, kscene, 2))
+    rank = {lane: i for i, lane in enumerate(order)}
+    assert rank[0] == 4  # dead last
+    assert rank[4] == 0  # no candidates first
+    assert rank[1] + 1 == rank[3]  # equal masks stay adjacent, stable
+    # mask(lane1)=0b11=3, mask(lane2)=0b10=2 -> lane2 before lane1
+    assert list(order) == [4, 2, 1, 3, 0]
+    # mode 1: alive partition only, original order retained within groups
+    assert list(np.asarray(_resolve_sort_order(o, d, alive, kscene, 1))) \
+        == [1, 2, 3, 4, 0]
+
+
+def test_drive_pool_v2_sorted_resolve(synth_portal):
+    """sort_lanes=2 (candidate-mask-grouped resolve blocks): the drive
+    still retires every sample exactly once with finite positive radiance.
+    Lane permutation changes each path's PRNG stream, so this checks the
+    bookkeeping invariants, not bitwise equality with the unsorted path."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth = 2, 1
+
+    with pltpu.force_tpu_interpret_mode():
+        stages, rays = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0, jnp.int32(7),
+            kbufs, portal_key=pkey, cam_key=cam_key,
+            max_depth=depth, rr_start_depth=5, check_every=1,
+            ladder=(), adaptive_polls=False, step_cap=16,
+            sort_lanes=2,
+        )
+    (pool,) = stages
+    pool = np.asarray(pool)
+    done = pool[portal_mod.V2_ROW_DONE][:npix]
+    assert np.all(done == spp)
+    assert float(np.asarray(rays)) >= npix * spp
+    assert np.all(pool[portal_mod.buf_row(0, portal_mod.BUF_STATE)] == 0.0)
+    A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
+    acc = pool[A0:A1][:, :npix]
+    assert np.isfinite(acc).all() and (acc >= 0).all() and acc.mean() > 0
