@@ -120,7 +120,12 @@ def _pad_to(x: np.ndarray, n: int, axis: int, fill: float) -> np.ndarray:
     return np.pad(x, widths, constant_values=fill)
 
 
-TRI_TILE = 64  # triangles per culling tile (sublane-aligned; measured best)
+import os as _os  # noqa: E402
+
+# triangles per culling tile (must stay a multiple of 8 for sublane
+# alignment; 64 measured best unsorted — smaller tiles only pay once the
+# sorted resolve makes per-tile conds fire, so the knob is env-sweepable)
+TRI_TILE = int(_os.environ.get("PT_TPU_TRI_TILE", "64"))
 TILE_THRESHOLD = 192  # tile + cull only above this many triangles
 # lane width of each tile-cull decision. A whole-block (1024-lane) ANY almost
 # never skips for incoherent bounce rays (P(skip) ~ (1-p)^1024); 128-lane
@@ -136,8 +141,6 @@ CULL_CHUNK = 0
 # trades their scalar-branch overhead for the (already-paid) vector work.
 # Module-level like CULL_CHUNK: set PT_TPU_FORCE_TILES=1 before import
 # (separate process per variant — the jit cache does not key on it).
-import os as _os  # noqa: E402
-
 FORCE_TILES = bool(int(_os.environ.get("PT_TPU_FORCE_TILES", "0")))
 
 

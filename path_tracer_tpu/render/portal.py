@@ -299,9 +299,13 @@ def _resolve_sort_order(o, d, alive, kscene, mode: int):
             t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
             t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
         poss = (t_ex >= t_en) & (t_ex >= 0.0)  # [C, N]
-        bits = jnp.int32(1) << jnp.arange(n_tiles, dtype=jnp.int32)
-        key = key + jnp.sum(
-            jnp.where(poss, bits[:, None], 0), axis=0, dtype=jnp.int32)
+        # the key is only a grouping heuristic, so scenes with > 30 tiles
+        # just alias tiles onto the 30 bits below the dead flag (OR, not
+        # sum — aliased sums could overflow into the dead flag)
+        mask = jnp.zeros(o.shape[1], jnp.int32)
+        for c in range(n_tiles):
+            mask = mask | jnp.where(poss[c], jnp.int32(1 << (c % 30)), 0)
+        key = key + mask
     return jnp.argsort(key, stable=True)
 
 

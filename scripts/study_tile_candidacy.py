@@ -178,6 +178,10 @@ def main():
     first = np.where(cand.any(axis=0), cand.argmax(axis=0), C)
     mask_key = (cand.astype(np.uint64)
                 * (1 << np.arange(C, dtype=np.uint64))[:, None]).sum(axis=0)
+    # slab-only mask: what render/portal._resolve_sort_order can actually
+    # compute BEFORE the kernel runs (no hit bound available at sort time)
+    slab_key = (slab.astype(np.uint64)
+                * (1 << np.arange(C, dtype=np.uint64))[:, None]).sum(axis=0)
     octant = ((sd[:, 0] < 0) * 4 + (sd[:, 1] < 0) * 2
               + (sd[:, 2] < 0)).astype(np.int64)
     cell = np.clip(((so - plo_a) / np.maximum(phi_a - plo_a, 1e-9) * 4)
@@ -191,19 +195,23 @@ def main():
         "sort: first-tile,t_en": np.lexsort((t_en[np.minimum(first, C - 1),
                                              np.arange(F)], first)),
         "sort: candidate mask": np.argsort(mask_key, kind="stable"),
+        "sort: slab-only mask (shipped)": np.argsort(slab_key, kind="stable"),
         "sort: octant,cell": np.lexsort((morton, octant)),
         "sort: octant,mask": np.lexsort((mask_key, octant)),
     }
+    from path_tracer_tpu.ops.pallas.trace_kernel import TRI_TILE
     for B in (1024, 256):
         nb = F // B
         if nb == 0:
             continue
         print(f"\nblock={B} ({nb} blocks): executed (block,tile) fraction "
-              f"(lower = more culled)")
+              f"(lower = more culled); MT rows/lane model = base + "
+              f"exec * {C} * {TRI_TILE}")
         for name, idx in orders.items():
             cb = cand[:, idx[: nb * B]].reshape(C, nb, B)
             execd = cb.any(axis=2).mean()
-            print(f"  {name:32s} {100 * execd:6.1f}%")
+            print(f"  {name:32s} {100 * execd:6.1f}%  "
+                  f"~{execd * C * TRI_TILE:5.0f} tiled MT rows/lane")
 
 
 if __name__ == "__main__":
