@@ -365,7 +365,11 @@ def portal_resolve_phase(
     if sort_lanes:
         order = _resolve_sort_order(o_in, d_in, alive_in, kscene,
                                     sort_lanes)
-        unsort = jnp.argsort(order)
+        # inverse permutation via scatter (cheaper than a second argsort)
+        n_all = order.shape[0]
+        unsort = jnp.zeros(n_all, jnp.int32).at[order].set(
+            jnp.arange(n_all, dtype=jnp.int32), unique_indices=True,
+            indices_are_sorted=False)
         # one [15, N] gather in, one out — cheaper than 7 separate takes
         st = jnp.concatenate([o_in, d_in, thr_in, acc_in, alive_in,
                               prev_in, depth_in], axis=0)[:, order]
