@@ -126,6 +126,11 @@ import os as _os  # noqa: E402
 # alignment; 64 measured best unsorted — smaller tiles only pay once the
 # sorted resolve makes per-tile conds fire, so the knob is env-sweepable)
 TRI_TILE = int(_os.environ.get("PT_TPU_TRI_TILE", "64"))
+if TRI_TILE <= 0 or TRI_TILE % 8:
+    # a misaligned tile would surface as a slow, bare Mosaic lowering
+    # failure (see CLAUDE.md) — fail loudly at import instead
+    raise ValueError(f"PT_TPU_TRI_TILE={TRI_TILE} must be a positive "
+                     "multiple of 8")
 TILE_THRESHOLD = 192  # tile + cull only above this many triangles
 # lane width of each tile-cull decision. A whole-block (1024-lane) ANY almost
 # never skips for incoherent bounce rays (P(skip) ~ (1-p)^1024); 128-lane
@@ -828,7 +833,9 @@ def _make_kernel(
                             lo3, ob, dn, preferred_element_type=jnp.float32)
 
                     feat12 = jnp.zeros((12, B), jnp.float32)
-                    slices = ([(0, tile_base)] if tile_base else []) + [
+                    # tile_base >= 8 always (kernel_scene_buffers pads the
+                    # base set to at least one sublane row)
+                    slices = [(0, tile_base)] + [
                         (tile_base + c * TRI_TILE, TRI_TILE)
                         for c in range(n_tiles)
                     ]

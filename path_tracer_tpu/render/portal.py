@@ -611,10 +611,17 @@ def drive_pool_v2(
     cycle = 0
     # stall = unfinished count not decreasing across polls (every cycle
     # advances every unfinished slot by >= 1 segment, so a healthy pool
-    # strictly drains); an absolute ceiling backstops the backstop
+    # strictly drains); an absolute ceiling backstops the backstop.
+    # Under narrow resolves the count legitimately plateaus between
+    # periodic full resolves (parked samples only retire then), so both
+    # limits scale with how many polls a full-resolve period spans.
+    narrow_factor = 1
+    if narrow_bufs is not None and park_k:
+        narrow_factor = max(1, -(-full_every // check_every))
+    stall_limit = 20 * narrow_factor
     stalled_polls = 0
     last_u = None
-    hard_limit = 256 + 4 * k_pass * (max_depth + 4)
+    hard_limit = (256 + 4 * k_pass * (max_depth + 4)) * narrow_factor
     while True:
         unfin = None
         # small pools cycle in ~2-5 ms, so the ~25 ms poll round-trip
@@ -685,7 +692,7 @@ def drive_pool_v2(
             return stages, rays
         stalled_polls = stalled_polls + 1 if u == last_u else 0
         last_u = u
-        if stalled_polls >= 20 or cycle > hard_limit:
+        if stalled_polls >= stall_limit or cycle > hard_limit:
             raise RuntimeError(
                 f"portal v2 scheduler stalled: {u} slots unfinished "
                 f"after {cycle} cycles ({stalled_polls} polls without "

@@ -424,10 +424,18 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
     assert abs(accum.mean() - accum0.mean()) < 0.15 * max(accum0.mean(), 1e-6)
 
 
-def test_resolve_const_mat_tiles_bitwise(mesh_packed):
+def test_resolve_const_mat_tiles_bitwise(mesh_packed, monkeypatch):
     """The const-material tile path (8 one-hot reads replaced by first-row
     broadcasts, gated on kernel_scene_buffers' uniformity meta) is BITWISE
-    identical to the general path — same uniforms, same rays."""
+    identical to the general path — same uniforms, same rays.
+
+    const_mat only exists on the CULL_CHUNK < block path (the production
+    whole-block deferred-fetch sweep ignores it — its one-hot matmul fetch
+    costs the same either way), so force the chunked path here or the two
+    programs would be identical and the assertion vacuous."""
+    from path_tracer_tpu.ops.pallas import trace_kernel as tk
+
+    monkeypatch.setattr(tk, "CULL_CHUNK", 128)
     kscene, meta = kernel_scene_buffers(mesh_packed, with_meta=True)
     flags = meta["tile_uniform_mat"]
     assert len(flags) > 0 and all(flags)  # the OFF mesh is single-material
@@ -536,23 +544,19 @@ def test_drive_pool_v2_narrow_resolve(synth_portal):
 
     pkey, cam_key, kbufs, npix, n_pad = synth_portal
     spp, depth = 2, 1  # depth 1: primaries still freeze/park at the plate
-    bufs = {"kernel": kbufs}
 
     # park_k=1 + step_cap=16: same machinery (freeze, park, narrow skip,
     # periodic full resolve), ~3x cheaper to compile+interpret than the
     # production park_k=3/cap-64 shape (measured 158 s vs 490 s)
-    def drive(narrow):
-        with pltpu.force_tpu_interpret_mode():
-            return rportal.drive_pool_v2(
-                make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0,
-                jnp.int32(5),
-                bufs["kernel"], portal_key=pkey, cam_key=cam_key,
-                max_depth=depth, rr_start_depth=5, check_every=1,
-                ladder=(), adaptive_polls=False, step_cap=16,
-                narrow_bufs=0 if narrow else None, full_every=2,
-            )
-
-    stages, rays = drive(True)
+    with pltpu.force_tpu_interpret_mode():
+        stages, rays = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0,
+            jnp.int32(5),
+            kbufs, portal_key=pkey, cam_key=cam_key,
+            max_depth=depth, rr_start_depth=5, check_every=1,
+            ladder=(), adaptive_polls=False, step_cap=16,
+            narrow_bufs=0, full_every=2,
+        )
     (pool,) = stages
     pool = np.asarray(pool)
     done = pool[portal_mod.V2_ROW_DONE][:npix]
