@@ -1,13 +1,15 @@
-"""Sweep the portal narrow-resolve knobs on hardware (mesh 1024x768).
+"""Sweep the portal resolve-scheduler knobs on hardware (mesh 1024x768).
 
-One process, warm jit: each config is (narrow_bufs, full_every); narrow
-cycles resolve the active path + narrow_bufs parked buffers, every
+One process, warm jit: each config is (narrow_bufs, full_every[, sort]);
+narrow cycles resolve the active path + narrow_bufs parked buffers, every
 full_every-th cycle resolves all PARK_K buffers. narrow_bufs=-1 means the
-always-full baseline. Reads the knobs from env at drive time, so renders
-alternate in-process without reimporting.
+always-full baseline. sort (default 0) permutes the resolve input:
+1 = dead-lane partition, 2 = + candidate-tile-mask grouping. Reads the
+knobs from env at drive time, so renders alternate in-process without
+reimporting.
 
 Usage: python scripts/sweep_narrow.py [spp] [cfg ...]
-  cfg: "nb:fe" pairs, default "-1:4 0:2 0:4 1:2 1:4"
+  cfg: "nb:fe[:sort]", default "-1:4 0:2 0:4 1:2 1:4 -1:4:1 -1:4:2 0:4:2"
 """
 
 import os
@@ -23,8 +25,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 def main():
     os.chdir(_ROOT)
     spp = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    cfgs = [tuple(map(int, a.split(":"))) for a in sys.argv[2:]] or [
-        (-1, 4), (0, 2), (0, 4), (1, 2), (1, 4)]
+    cfgs = [tuple(map(int, (a + ":0:0").split(":")[:3]))
+            for a in sys.argv[2:]] or [
+        (-1, 4, 0), (0, 2, 0), (0, 4, 0), (1, 2, 0), (1, 4, 0),
+        (-1, 4, 1), (-1, 4, 2), (0, 4, 2)]
 
     import path_tracer_tpu as pt
     from path_tracer_tpu.render.pipeline import prepare_scene_and_mode, render
@@ -46,10 +50,11 @@ def main():
         return mrays
 
     results = {}
-    for nb, fe in cfgs:
+    for nb, fe, srt in cfgs:
         os.environ["PT_TPU_NARROW_BUFS"] = str(nb)
         os.environ["PT_TPU_FULL_EVERY"] = str(fe)
-        label = f"nb={nb} fe={fe}"
+        os.environ["PT_TPU_RESOLVE_SORT"] = str(srt)
+        label = f"nb={nb} fe={fe} sort={srt}"
         print(f"[{label}]", flush=True)
         once("warmup")
         vals = [once(f"rep{i}") for i in range(4)]
