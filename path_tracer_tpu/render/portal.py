@@ -548,6 +548,17 @@ def make_pool_v2(npix: int, n_pad: int, k_pass: int,
     return pool
 
 
+def _stall_limits(k_pass, max_depth, check_every, full_every, *, narrow):
+    """(stall_limit polls, hard_limit cycles) for drive_pool_v2's two
+    runaway backstops. Under narrow resolves the unfinished count
+    legitimately plateaus between periodic full resolves (parked samples
+    only retire then), so both limits scale with how many polls a
+    full-resolve period spans — otherwise a healthy narrow drive with
+    full_every > 20*check_every would be misdiagnosed as stalled."""
+    factor = max(1, -(-full_every // check_every)) if narrow else 1
+    return 20 * factor, (256 + 4 * k_pass * (max_depth + 4)) * factor
+
+
 def drive_pool_v2(
     pool,
     k_pass: int,
@@ -612,16 +623,11 @@ def drive_pool_v2(
     # stall = unfinished count not decreasing across polls (every cycle
     # advances every unfinished slot by >= 1 segment, so a healthy pool
     # strictly drains); an absolute ceiling backstops the backstop.
-    # Under narrow resolves the count legitimately plateaus between
-    # periodic full resolves (parked samples only retire then), so both
-    # limits scale with how many polls a full-resolve period spans.
-    narrow_factor = 1
-    if narrow_bufs is not None and park_k:
-        narrow_factor = max(1, -(-full_every // check_every))
-    stall_limit = 20 * narrow_factor
+    stall_limit, hard_limit = _stall_limits(
+        k_pass, max_depth, check_every, full_every,
+        narrow=narrow_bufs is not None and bool(park_k))
     stalled_polls = 0
     last_u = None
-    hard_limit = (256 + 4 * k_pass * (max_depth + 4)) * narrow_factor
     while True:
         unfin = None
         # small pools cycle in ~2-5 ms, so the ~25 ms poll round-trip

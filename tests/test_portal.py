@@ -660,3 +660,19 @@ def test_drive_pool_v2_sorted_resolve(synth_portal):
     A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
     acc = pool[A0:A1][:, :npix]
     assert np.isfinite(acc).all() and (acc >= 0).all() and acc.mean() > 0
+
+
+def test_stall_limits_scale_with_narrow_cadence():
+    """The stall/hard backstops must not misdiagnose a healthy narrow
+    drive whose full-resolve period spans more than 20 polls."""
+    from path_tracer_tpu.render.portal import _stall_limits
+
+    s0, h0 = _stall_limits(64, 12, 4, 4, narrow=False)
+    assert s0 == 20 and h0 == 256 + 4 * 64 * 16
+    # narrow with full_every <= check_every: every poll spans a full
+    # resolve, no scaling needed
+    assert _stall_limits(64, 12, 4, 4, narrow=True) == (s0, h0)
+    # full_every=128, check_every=4: 32 polls/full-resolve period — the
+    # old fixed 20-poll limit would have raised before the next full
+    s1, h1 = _stall_limits(64, 12, 4, 128, narrow=True)
+    assert s1 == 20 * 32 and h1 == h0 * 32
