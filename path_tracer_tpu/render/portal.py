@@ -272,41 +272,125 @@ def portal_cycle_v2(
     return pool, c1 + c2, unfinished
 
 
+def _tile_slab_masks(o, d, kscene):
+    """Per-lane candidate-tile data from slab tests: (poss [C, N] bool —
+    the ray's t>=0 segment crosses tile c's AABB, t_en [C, N] entry
+    distances). Pure vector math, ~6 ops per (tile, lane)."""
+    lo = kscene["tile_lo"]  # [3, C]
+    hi = kscene["tile_hi"]
+    n_tiles = lo.shape[1]
+    inv = [
+        1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+        for k in range(3)
+    ]
+    t_en = jnp.zeros((n_tiles, o.shape[1]), jnp.float32)
+    t_ex = jnp.full((n_tiles, o.shape[1]), BIG, jnp.float32)
+    for k in range(3):
+        ta = (lo[k][:, None] - o[k][None, :]) * inv[k][None, :]
+        tb = (hi[k][:, None] - o[k][None, :]) * inv[k][None, :]
+        t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+        t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+    poss = (t_ex >= t_en) & (t_ex >= 0.0)  # [C, N]
+    return poss, t_en
+
+
+def _counting_positions(key, n_buckets: int):
+    """Stable counting-sort destination positions: pos[i] = where lane i
+    lands when lanes are grouped by key (ascending), equal keys keeping
+    their original order. K plain cumsums instead of an argsort — the
+    argsort of the 3.1M-lane resolve input is what halved throughput in
+    the round-2 sort experiment (PERF.md). Exact while n < 2^24 (f32
+    0/1 cumsum; the pool is <= ~3.1M lanes)."""
+    n = key.shape[0]
+    pos = jnp.zeros(n, jnp.float32)
+    total = jnp.float32(0.0)
+    for k in range(n_buckets):
+        m = key == k
+        mf = m.astype(jnp.float32)
+        r = jnp.cumsum(mf) - 1.0
+        pos = jnp.where(m, total + r, pos)
+        total = total + r[-1] + 1.0
+    return pos.astype(jnp.int32)
+
+
 def _resolve_sort_order(o, d, alive, kscene, mode: int):
-    """[N] permutation grouping resolve lanes so RESOLVE_BLOCK-sized
-    blocks become coherent: dead lanes cluster into blocks the kernel's
-    all-dead skip eliminates outright (mode >= 1), and alive lanes group
-    by their candidate-tile slab mask so the kernel's per-tile conds can
-    fire (mode >= 2; the tile-candidacy study measured executed
-    (block,tile) fraction 100% -> 39% under the mask key — see PERF.md).
-    The argsort is stable, so lanes with equal keys keep their original
-    (pixel-local) order."""
-    dead = (alive[0] <= 0.0).astype(jnp.int32)
-    key = dead * jnp.int32(1 << 30)
-    if mode >= 2 and "tile_lo" in kscene:
-        lo = kscene["tile_lo"]  # [3, C]
-        hi = kscene["tile_hi"]
-        n_tiles = lo.shape[1]
-        inv = [
-            1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
-            for k in range(3)
-        ]
-        t_en = jnp.zeros((n_tiles, o.shape[1]), jnp.float32)
-        t_ex = jnp.full((n_tiles, o.shape[1]), BIG, jnp.float32)
-        for k in range(3):
-            ta = (lo[k][:, None] - o[k][None, :]) * inv[k][None, :]
-            tb = (hi[k][:, None] - o[k][None, :]) * inv[k][None, :]
-            t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
-            t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
-        poss = (t_ex >= t_en) & (t_ex >= 0.0)  # [C, N]
-        # the key is only a grouping heuristic, so scenes with > 30 tiles
-        # just alias tiles onto the 30 bits below the dead flag (OR, not
-        # sum — aliased sums could overflow into the dead flag)
-        mask = jnp.zeros(o.shape[1], jnp.int32)
-        for c in range(n_tiles):
-            mask = mask | jnp.where(poss[c], jnp.int32(1 << (c % 30)), 0)
-        key = key + mask
-    return jnp.argsort(key, stable=True)
+    """(order, unsort) permutations grouping resolve lanes so
+    RESOLVE_BLOCK-sized blocks become coherent: dead lanes cluster into
+    blocks the kernel's all-dead skip eliminates outright, and alive
+    lanes group so the kernel's per-tile conds can fire (the
+    tile-candidacy study measured executed (block,tile) fraction
+    100% -> 39% under a mask key — see PERF.md). All modes are stable
+    (equal keys keep their original pixel-local order).
+
+    modes 1/2 (argsort, measured 2x SLOWER end-to-end — kept as the
+    baseline the counting modes are judged against):
+      1 = dead-lane partition;  2 = + candidate-tile mask key.
+    modes 3-6 (counting permutations — K cumsums, no sort network):
+      3 = dead partition only (enables the all-dead block skip);
+      4 = dead + direction octant (8 buckets of coherent directions);
+      5 = dead + nearest-candidate-tile id (groups by spatial target);
+      6 = dead + full candidate mask via LSB-first binary radix over the
+          tile bits (the exact key the 39% measurement used)."""
+    n = o.shape[1]
+    dead_b = alive[0] <= 0.0
+    if mode in (1, 2):
+        key = dead_b.astype(jnp.int32) * jnp.int32(1 << 30)
+        if mode >= 2 and "tile_lo" in kscene:
+            poss, _ = _tile_slab_masks(o, d, kscene)
+            n_tiles = poss.shape[0]
+            # the key is only a grouping heuristic, so scenes with > 30
+            # tiles just alias tiles onto the 30 bits below the dead flag
+            # (OR, not sum — aliased sums could overflow into the dead
+            # flag)
+            mask = jnp.zeros(n, jnp.int32)
+            for c in range(n_tiles):
+                mask = mask | jnp.where(poss[c], jnp.int32(1 << (c % 30)), 0)
+            key = key + mask
+        order = jnp.argsort(key, stable=True)
+        unsort = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+        return order, unsort
+
+    have_tiles = "tile_lo" in kscene
+    if mode == 3 or not have_tiles:
+        pos = _counting_positions(dead_b.astype(jnp.int32), 2)
+    elif mode == 4:
+        key = (
+            (d[0] < 0.0).astype(jnp.int32)
+            + 2 * (d[1] < 0.0).astype(jnp.int32)
+            + 4 * (d[2] < 0.0).astype(jnp.int32)
+        )
+        pos = _counting_positions(jnp.where(dead_b, 8, key), 9)
+    elif mode == 5:
+        poss, t_en = _tile_slab_masks(o, d, kscene)
+        n_tiles = poss.shape[0]
+        nearest = jnp.argmin(
+            jnp.where(poss, t_en, BIG), axis=0
+        ).astype(jnp.int32)
+        none = ~jnp.any(poss, axis=0)
+        key = jnp.where(none, n_tiles, nearest)
+        pos = _counting_positions(jnp.where(dead_b, n_tiles + 1, key),
+                                  n_tiles + 2)
+    else:  # mode 6: binary radix over the candidate-tile mask bits.
+        # LSB-first stable passes sort by the full mask; compose each
+        # pass's positions by gathering through the previous total. The
+        # dead bit sorts last (most significant).
+        poss, _ = _tile_slab_masks(o, d, kscene)
+        n_tiles = poss.shape[0]
+        bits = [poss[c].astype(jnp.int32) for c in range(n_tiles)]
+        bits.append(dead_b.astype(jnp.int32) + 0 * bits[0])
+        pos = None
+        for b in bits:
+            if pos is not None:
+                # reorder this pass's key into the current ordering:
+                # sorted_key[p] = key[lane at position p] → scatter
+                b = jnp.zeros(n, jnp.int32).at[pos].set(
+                    b, unique_indices=True)
+            p_new = _counting_positions(b, 2)
+            pos = p_new if pos is None else p_new[pos]
+    order = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+    return order, pos
 
 
 def portal_resolve_phase(
@@ -363,13 +447,8 @@ def portal_resolve_phase(
                    + [buf(j, BUF_DEPTH) for j in range(nb)])
 
     if sort_lanes:
-        order = _resolve_sort_order(o_in, d_in, alive_in, kscene,
-                                    sort_lanes)
-        # inverse permutation via scatter (cheaper than a second argsort)
-        n_all = order.shape[0]
-        unsort = jnp.zeros(n_all, jnp.int32).at[order].set(
-            jnp.arange(n_all, dtype=jnp.int32), unique_indices=True,
-            indices_are_sorted=False)
+        order, unsort = _resolve_sort_order(o_in, d_in, alive_in, kscene,
+                                            sort_lanes)
         # one [15, N] gather in, one out — cheaper than 7 separate takes
         st = jnp.concatenate([o_in, d_in, thr_in, acc_in, alive_in,
                               prev_in, depth_in], axis=0)[:, order]

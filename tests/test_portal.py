@@ -620,21 +620,55 @@ def test_resolve_sort_order_groups_lanes():
     o = o.at[0, 2].set(5.0)
     d = jnp.array([[1.0] * 5, [0.0] * 5, [0.0] * 5])
     alive = jnp.array([[0.0, 1.0, 1.0, 1.0, 1.0]])
-    order = np.asarray(_resolve_sort_order(o, d, alive, kscene, 2))
+    order, unsort = _resolve_sort_order(o, d, alive, kscene, 2)
+    order = np.asarray(order)
     rank = {lane: i for i, lane in enumerate(order)}
     assert rank[0] == 4  # dead last
     assert rank[4] == 0  # no candidates first
     assert rank[1] + 1 == rank[3]  # equal masks stay adjacent, stable
     # mask(lane1)=0b11=3, mask(lane2)=0b10=2 -> lane2 before lane1
     assert list(order) == [4, 2, 1, 3, 0]
+    assert list(np.asarray(unsort)[order]) == list(range(5))  # inverse
     # mode 1: alive partition only, original order retained within groups
-    assert list(np.asarray(_resolve_sort_order(o, d, alive, kscene, 1))) \
-        == [1, 2, 3, 4, 0]
+    ord1, _ = _resolve_sort_order(o, d, alive, kscene, 1)
+    assert list(np.asarray(ord1)) == [1, 2, 3, 4, 0]
+    # counting modes reproduce the argsort modes' grouping semantics:
+    # 3 == 1 (dead partition), 6 == 2 (LSB-first radix == ascending mask)
+    ord3, uns3 = _resolve_sort_order(o, d, alive, kscene, 3)
+    assert list(np.asarray(ord3)) == [1, 2, 3, 4, 0]
+    assert list(np.asarray(uns3)[np.asarray(ord3)]) == list(range(5))
+    ord6, uns6 = _resolve_sort_order(o, d, alive, kscene, 6)
+    assert list(np.asarray(ord6)) == list(order)
+    assert list(np.asarray(uns6)[np.asarray(ord6)]) == list(range(5))
+    # mode 4: all alive lanes share the +x octant -> dead partition only
+    ord4, _ = _resolve_sort_order(o, d, alive, kscene, 4)
+    assert list(np.asarray(ord4)) == [1, 2, 3, 4, 0]
+    # mode 5: nearest candidate tile (lanes 1,3 -> tile0; lane2 -> tile1;
+    # lane4 no candidates; lane0 dead)
+    ord5, _ = _resolve_sort_order(o, d, alive, kscene, 5)
+    assert list(np.asarray(ord5)) == [1, 3, 2, 4, 0]
 
 
-def test_drive_pool_v2_sorted_resolve(synth_portal):
-    """sort_lanes=2 (candidate-mask-grouped resolve blocks): the drive
-    still retires every sample exactly once with finite positive radiance.
+def test_counting_positions_matches_argsort():
+    """_counting_positions: destination positions equal a stable argsort's
+    inverse permutation, for random keys across the full bucket range."""
+    from path_tracer_tpu.render.portal import _counting_positions
+
+    rs = np.random.RandomState(3)
+    for n_buckets in (2, 9, 16):
+        key = rs.randint(0, n_buckets, size=997).astype(np.int32)
+        pos = np.asarray(_counting_positions(jnp.asarray(key), n_buckets))
+        order = np.argsort(key, kind="stable")
+        expect = np.empty_like(order)
+        expect[order] = np.arange(len(key))
+        np.testing.assert_array_equal(pos, expect)
+
+
+@pytest.mark.parametrize("sort_mode", [2, 5])
+def test_drive_pool_v2_sorted_resolve(synth_portal, sort_mode):
+    """Sorted resolve blocks (mode 2 = argsort by candidate mask, mode 5 =
+    counting permutation by nearest candidate tile): the drive still
+    retires every sample exactly once with finite positive radiance.
     Lane permutation changes each path's PRNG stream, so this checks the
     bookkeeping invariants, not bitwise equality with the unsorted path."""
     from path_tracer_tpu.render import portal as rportal
@@ -649,7 +683,7 @@ def test_drive_pool_v2_sorted_resolve(synth_portal):
             kbufs, portal_key=pkey, cam_key=cam_key,
             max_depth=depth, rr_start_depth=5, check_every=1,
             ladder=(), adaptive_polls=False, step_cap=16,
-            sort_lanes=2,
+            sort_lanes=sort_mode,
         )
     (pool,) = stages
     pool = np.asarray(pool)
