@@ -332,6 +332,8 @@ def render(
                 k_full=k,
                 max_depth=config.max_depth,
                 rr_start_depth=config.rr_start_depth,
+                width=res.width,
+                height=res.height,
             )
         else:
             from path_tracer_tpu.render.portal import make_portal_pass_runner

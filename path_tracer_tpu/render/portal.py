@@ -603,21 +603,55 @@ def _compact_tail(pool, idx, valid, quota_f):
     return pool, small
 
 
+def morton_pixel_order(width: int, height: int) -> np.ndarray:
+    """[npix] i32: pixel id owned by each pool slot, in Morton (Z-curve)
+    order over the image. RESOLVE_BLOCK consecutive slots then cover a
+    ~32x32 pixel square instead of one raster stripe, so the lanes that
+    freeze/park (mesh-facing pixels — spatially clustered in the image)
+    land in the SAME resolve blocks and the non-facing blocks' parked
+    buffers stay all-dead, which the kernel's block skip eliminates for
+    free. This is the zero-cost form of the lane sort: the per-cycle
+    permutation of the 3.1M-lane resolve input measured 2x SLOWER in
+    every variant (argsort or counting — the 15-row column gather is the
+    cost, see PERF.md); a static slot relabeling moves no data at all."""
+
+    def part1by1(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    pix = np.arange(width * height, dtype=np.int64)
+    x = (pix % width).astype(np.uint32)
+    y = (pix // width).astype(np.uint32)
+    key = part1by1(x) | (part1by1(y) << np.uint32(1))
+    return np.argsort(key, kind="stable").astype(np.int32)
+
+
 def make_pool_v2(npix: int, n_pad: int, k_pass: int,
-                 park_k: int | None = None):
-    """Fresh pixel-pinned pool: slot i owns pixel min(i, npix-1); padding
-    slots (i >= npix) are born fully retired so they never issue samples
-    and contribute zero radiance. park_k defaults to the module's PARK_K
-    at call time (tests lower it for the Pallas interpreter)."""
+                 park_k: int | None = None, pix_order=None):
+    """Fresh pixel-pinned pool: slot i owns pixel min(i, npix-1) — or
+    pix_order[i] when a [npix] slot->pixel map is given (Morton order in
+    production; see morton_pixel_order) — padding slots (i >= npix) are
+    born fully retired so they never issue samples and contribute zero
+    radiance. park_k defaults to the module's PARK_K at call time (tests
+    lower it for the Pallas interpreter)."""
     if park_k is None:
         from path_tracer_tpu.ops.pallas import portal as _pm
 
         park_k = _pm.PARK_K
     pool = jnp.zeros((pool_rows(park_k), n_pad), jnp.float32)
     pool = pool.at[ROW_PREV].set(-1.0)
-    pool = pool.at[V2_ROW_PIX].set(
-        jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1))
-    )
+    if pix_order is None:
+        pix = jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32),
+                          float(npix - 1))
+    else:
+        pix = jnp.concatenate([
+            jnp.asarray(pix_order, jnp.int32).astype(jnp.float32),
+            jnp.full((n_pad - npix,), float(int(pix_order[-1]))),
+        ])
+    pool = pool.at[V2_ROW_PIX].set(pix)
     retired = jnp.where(
         jnp.arange(n_pad) < npix, 0.0, float(k_pass)
     ).astype(jnp.float32)
@@ -808,14 +842,17 @@ def make_portal_pass_runner_v2(
     max_depth: int = 12,
     rr_start_depth: int = 5,
     check_every: int = 4,
+    width: int | None = None,
+    height: int | None = None,
 ):
     """Build the v2 pipeline pass_runner. Each pass gives every pixel-slot a
     quota of k_pass samples; the pool cycles until every slot retires its
     quota (tail-compacting as slots finish), then every stage pool's acc
-    rows add into the framebuffer — the primary pool directly (slot order ==
-    pixel order), compacted stages by one scatter-add each. Per-pixel sample
-    counts are exact by construction — the regen-loop discipline,
-    portal-deferred."""
+    rows scatter-add into the framebuffer keyed by V2_ROW_PIX. Per-pixel
+    sample counts are exact by construction — the regen-loop discipline,
+    portal-deferred. PT_TPU_PIX_ORDER=morton relabels slots along the
+    image Z-curve (morton_pixel_order) — measured neutral on the mesh
+    scene (see PERF.md), kept for sparser freeze patterns."""
     n_pad = _round_block(npix)
 
     def pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
@@ -825,15 +862,28 @@ def make_portal_pass_runner_v2(
             jax.random.key_data(pass_key).reshape(-1)[-1].astype(jnp.int32)
         )
 
-        pool = make_pool_v2(npix, n_pad, k_pass)
+        # default row: the Morton relabeling measured NEUTRAL on hardware
+        # (93.6-98.5 vs 96.9 Mray/s, same session) — parked buffers run
+        # 51-77% alive in the bulk phase, so no slot order can produce
+        # all-dead resolve blocks there, and the compaction ladder already
+        # handles the drain. Kept selectable for scenes whose freeze
+        # pattern is sparser (see PERF.md).
+        use_morton = (width is not None and height is not None
+                      and width * height == npix
+                      and os.environ.get("PT_TPU_PIX_ORDER",
+                                         "row") == "morton")
+        pix_order = morton_pixel_order(width, height) if use_morton else None
+        pool = make_pool_v2(npix, n_pad, k_pass, pix_order=pix_order)
 
         stages, rays = drive_pool_v2(
             pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
             portal_key=portal_key, cam_key=cam_key, max_depth=max_depth,
             rr_start_depth=rr_start_depth, check_every=check_every,
         )
-        accum = accum + stages[0][ROW_ACC:ROW_ACC + 3, :npix].T
-        for st in stages[1:]:
+        if pix_order is None:
+            stages, first = stages[1:], stages[0]
+            accum = accum + first[ROW_ACC:ROW_ACC + 3, :npix].T
+        for st in stages:
             pix = st[V2_ROW_PIX].astype(jnp.int32)
             accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
         return accum, rays

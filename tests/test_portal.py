@@ -649,6 +649,59 @@ def test_resolve_sort_order_groups_lanes():
     assert list(np.asarray(ord5)) == [1, 3, 2, 4, 0]
 
 
+def test_morton_pixel_order_is_zcurve_permutation():
+    """morton_pixel_order: a bijection onto [0, npix) whose consecutive
+    slots tile the image as Z-curve squares (so RESOLVE_BLOCK-sized slot
+    ranges cover compact pixel regions, not raster stripes)."""
+    from path_tracer_tpu.render.portal import morton_pixel_order
+
+    w, h = 36, 24
+    order = morton_pixel_order(w, h)
+    assert sorted(order.tolist()) == list(range(w * h))
+    # the first 2x2 Z block: (0,0) (1,0) (0,1) (1,1)
+    assert order[:4].tolist() == [0, 1, w, w + 1]
+    # any aligned run of 64 slots spans a bounded pixel neighborhood
+    xs, ys = order % w, order // w
+    for s in range(0, w * h, 64):
+        bx = xs[s:s + 64].max() - xs[s:s + 64].min()
+        by = ys[s:s + 64].max() - ys[s:s + 64].min()
+        assert bx <= 15 and by <= 15  # an 8x8 Z square pads to <= 16x16
+
+
+def test_drive_pool_v2_morton_pix_order(synth_portal):
+    """A Morton slot->pixel map: every pixel still retires exactly its
+    quota (accounting is per-slot, so the remap must not disturb it) and
+    the pix row stays a bijection the pass-end scatter-add can key on."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import (
+        make_pool_v2, morton_pixel_order,
+    )
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth = 2, 1
+    order = morton_pixel_order(36, 24)
+
+    with pltpu.force_tpu_interpret_mode():
+        stages, rays = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1, pix_order=order),
+            spp, 0, jnp.int32(7), kbufs,
+            portal_key=pkey, cam_key=cam_key,
+            max_depth=depth, rr_start_depth=5, check_every=1,
+            ladder=(), adaptive_polls=False, step_cap=16,
+        )
+    (pool,) = stages
+    pool = np.asarray(pool)
+    assert np.all(pool[portal_mod.V2_ROW_DONE][:npix] == spp)
+    pix = pool[portal_mod.V2_ROW_PIX][:npix].astype(np.int64)
+    assert sorted(pix.tolist()) == list(range(npix))
+    # padding slots keep a valid pixel id and zero radiance
+    A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
+    assert np.all(pool[A0:A1][:, npix:] == 0.0)
+    acc = np.zeros((npix, 3))
+    np.add.at(acc, pix, pool[A0:A1][:, :npix].T)
+    assert np.isfinite(acc).all() and (acc >= 0).all() and acc.mean() > 0
+
+
 def test_counting_positions_matches_argsort():
     """_counting_positions: destination positions equal a stable argsort's
     inverse permutation, for random keys across the full bucket range."""
