@@ -717,13 +717,15 @@ def test_counting_positions_matches_argsort():
         np.testing.assert_array_equal(pos, expect)
 
 
-@pytest.mark.parametrize("sort_mode", [2, 5])
+@pytest.mark.parametrize("sort_mode", [5])
 def test_drive_pool_v2_sorted_resolve(synth_portal, sort_mode):
-    """Sorted resolve blocks (mode 2 = argsort by candidate mask, mode 5 =
-    counting permutation by nearest candidate tile): the drive still
-    retires every sample exactly once with finite positive radiance.
-    Lane permutation changes each path's PRNG stream, so this checks the
-    bookkeeping invariants, not bitwise equality with the unsorted path."""
+    """Sorted resolve blocks (mode 5 = counting permutation by nearest
+    candidate tile; the argsort modes share the same gather/unsort
+    integration path and their permutations are unit-tested above): the
+    drive still retires every sample exactly once with finite positive
+    radiance. Lane permutation changes each path's PRNG stream, so this
+    checks the bookkeeping invariants, not bitwise equality with the
+    unsorted path."""
     from path_tracer_tpu.render import portal as rportal
     from path_tracer_tpu.render.portal import make_pool_v2
 
