@@ -148,6 +148,12 @@ CULL_CHUNK = 0
 # (separate process per variant — the jit cache does not key on it).
 FORCE_TILES = bool(int(_os.environ.get("PT_TPU_FORCE_TILES", "0")))
 
+# Timing-only ablation switch for scripts/ablate_resolve.py (ablated
+# kernels render garbage by design; fresh process per variant, like
+# FORCE_TILES): "nofetch" skips the deferred MXU feature fetch, "nomin"
+# replaces the per-tile first-wins min reduction with a plain min.
+ABLATE = _os.environ.get("PT_TPU_ABLATE", "")
+
 
 # static per-scene kernel metadata (e.g. per-tile material uniformity),
 # registered by the pipeline under its portal key so jitted schedulers can
@@ -678,6 +684,9 @@ def _make_kernel(
                     valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
                 t_tri = jnp.where(valid, t_, BIG)
                 if lite:
+                    if ABLATE == "nomin":  # timing ablation: plain min
+                        d_t = jnp.min(t_tri, axis=0, keepdims=True)
+                        return d_t, d_t
                     d_t, _, imin = _first_min_sublane(t_tri, idx)
                     return d_t, imin
                 d_t, oh_t, _ = _first_min_sublane(t_tri, idx)
@@ -839,6 +848,8 @@ def _make_kernel(
                         (tile_base + c * TRI_TILE, TRI_TILE)
                         for c in range(n_tiles)
                     ]
+                    if ABLATE == "nofetch":  # timing ablation: skip fetch
+                        slices = []
                     for lo2, size in slices:
                         rows = (
                             jax.lax.broadcasted_iota(

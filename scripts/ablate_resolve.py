@@ -7,6 +7,8 @@ phase pays ~86 ns/lane for.
     noshade    shade_phase stubbed
     constmat   all tiles read color/emis/rtype as per-tile constants
     halftiles  kscene truncated to half the Morton tiles (per-tile slope)
+    nofetch    deferred MXU feature fetch skipped (PT_TPU_ABLATE)
+    nomin      per-tile first-wins reduction -> plain min (PT_TPU_ABLATE)
 
 Usage: python scripts/ablate_resolve.py <variant> [block]
 Timing-only — ablated kernels render garbage by design. Run each variant
@@ -18,6 +20,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+if sys.argv[1:2] and sys.argv[1] in ("nofetch", "nomin"):
+    os.environ["PT_TPU_ABLATE"] = sys.argv[1]  # before the tk import
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir("/root/repo")
 
