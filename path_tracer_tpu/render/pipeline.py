@@ -299,8 +299,19 @@ def render(
         regen_cap = QUOTA_CAP_PRIM
     elif mode.startswith("portal:"):
         # the portal scheduler has no static quota; the cap only sets the
-        # pass (= progress/cancel/checkpoint) granularity
-        regen_cap = 64
+        # pass granularity. Big passes amortize the pool's drain tail —
+        # the bulk phase runs ~272 Mray/s while 64-spp passes average 117
+        # because every pass pays the full drain (PERF.md 2026-08-18) —
+        # and progress/cancel ride drive_pool_v2's poll hook mid-pass.
+        # Checkpoints and partial-image streaming still live at pass
+        # boundaries, so those renders keep the old fine-grained passes;
+        # everything else (bench, CLI, daemon) gets the big passes.
+        if (checkpoint_path and checkpoint_every) or (
+            progress is not None and progress_snapshots
+        ):
+            regen_cap = 64
+        else:
+            regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "512"))
     if config.samples_per_pass:
         k = config.samples_per_pass
         if regen_cap:
@@ -325,6 +336,19 @@ def render(
                 make_portal_pass_runner_v2,
             )
 
+            # mid-pass hook: passes are up to PT_TPU_PORTAL_PASS_CAP spp,
+            # so progress and cancel ride the drive's termination polls.
+            # Late-binding closures: maybe_progress / current_k_pass are
+            # defined further down in this function, resolved at call time.
+            portal_hook = None
+            if cancel is not None or progress is not None:
+                def portal_hook(cycle, w, unfin):
+                    if progress is not None:
+                        frac = 1.0 - min(unfin / npix, 1.0)
+                        maybe_progress(extra_samples=frac * current_k_pass,
+                                       allow_image=False)
+                    return cancel is not None and cancel()
+
             pass_runner = make_portal_pass_runner_v2(
                 portal_key=pkey,
                 cam_key=f"{pkey}:cam:{res.width}x{res.height}",
@@ -334,6 +358,7 @@ def render(
                 rr_start_depth=config.rr_start_depth,
                 width=res.width,
                 height=res.height,
+                on_check=portal_hook,
             )
         else:
             from path_tracer_tpu.render.portal import make_portal_pass_runner
@@ -473,7 +498,10 @@ def render(
     last_update = 0.0
     cancelled = False
 
-    def maybe_progress(force: bool = False):
+    def maybe_progress(force: bool = False, extra_samples: float = 0.0,
+                       allow_image: bool = True):
+        # extra_samples: mid-pass slot-completion estimate from the portal
+        # hook (the pass's radiance still lives in the pool, so no image)
         nonlocal last_update
         if progress is None:
             return
@@ -482,13 +510,13 @@ def render(
             return
         last_update = now
         img = None
-        if progress_snapshots and samples_done > 0:
+        if allow_image and progress_snapshots and samples_done > 0:
             partial = integrator.finalize(accum, samples_done)
             # accum may be padded beyond the framebuffer (sharded execution)
             img = Image.new(unpermute(np.asarray(partial)[:npix]), res)
         progress(
             RenderUpdate(
-                progress=samples_done / spp,
+                progress=min((samples_done + extra_samples) / spp, 1.0),
                 image=img,
                 samples_done=samples_done,
                 stats=stats,
@@ -520,13 +548,23 @@ def render(
             stats.num_rays += int(counts.astype(np.int64).sum())
         ray_handles = []
 
+    current_k_pass = 0
+
     for pass_idx, k_pass in schedule:
         if cancel is not None and cancel():
             if verbose:
                 print("Canceling render prematurely")
             cancelled = True
             break
+        current_k_pass = k_pass
         accum, rays = run_pass(accum, pass_idx, k_pass)
+        if getattr(pass_runner, "last_cancelled", False):
+            # the portal hook aborted mid-pass; the pass's partial ragged
+            # radiance was discarded by the runner (whole passes only)
+            if verbose:
+                print("Canceling render prematurely")
+            cancelled = True
+            break
         ray_handles.append(rays)
         samples_done += k_pass * 1  # per pixel
         stats.num_samples += k_pass * npix

@@ -228,7 +228,7 @@ def make_portal_pass_runner(
     jax.jit,
     static_argnames=(
         "portal_key", "cam_key", "max_depth", "rr_start_depth", "park_k",
-        "resolve_bufs", "sort_lanes",
+        "resolve_bufs", "sort_lanes", "skip_kernel",
     ),
     donate_argnums=(0,),
 )
@@ -247,6 +247,7 @@ def portal_cycle_v2(
     park_k: int = 0,
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
+    skip_kernel: bool = False,
 ):
     """One v2 cycle: cheap-advance-with-regen until every lane is frozen
     (park_k > 0: parked K-deep), quota-done, or step-capped, then ONE
@@ -268,6 +269,7 @@ def portal_cycle_v2(
         portal_key=portal_key, max_depth=max_depth,
         rr_start_depth=rr_start_depth, park_k=park_k,
         resolve_bufs=resolve_bufs, sort_lanes=sort_lanes,
+        skip_kernel=skip_kernel,
     )
     return pool, c1 + c2, unfinished
 
@@ -405,6 +407,7 @@ def portal_resolve_phase(
     park_k: int = 0,
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
+    skip_kernel: bool = False,
 ):
     """The resolve half of a v2 cycle: one full-scene bounce over the
     active path and the first `resolve_bufs` parked buffers (default:
@@ -458,13 +461,23 @@ def portal_resolve_phase(
 
     # portal_key is static here, so this is a trace-time constant lookup
     meta = TILE_META.get(portal_key, {})
-    o, d, thr, acc, alive, prev, depth, c2 = trace_pallas_resolve(
-        o_in, d_in, thr_in, acc_in, alive_in, prev_in, depth_in,
-        kscene, cycle_seed + jnp.int32(1),
-        max_depth=max_depth, rr_start_depth=rr_start_depth,
-        block=RESOLVE_BLOCK,
-        const_mat_tiles=meta.get("tile_uniform_mat"),
-    )
+    if skip_kernel:
+        # profiling-only (scripts/profile_v2_cycle.py): pass the resolve
+        # input straight through so a timed cycle costs cheap + glue with
+        # no resolve kernel. Frozen paths flip to ready un-advanced and
+        # re-freeze next cheap call — the pool churns at bulk-like
+        # occupancy forever, which is exactly the timing workload wanted.
+        o, d, thr, acc, alive, prev, depth = (
+            o_in, d_in, thr_in, acc_in, alive_in, prev_in, depth_in)
+        c2 = jnp.zeros_like(alive_in)
+    else:
+        o, d, thr, acc, alive, prev, depth, c2 = trace_pallas_resolve(
+            o_in, d_in, thr_in, acc_in, alive_in, prev_in, depth_in,
+            kscene, cycle_seed + jnp.int32(1),
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
+            block=RESOLVE_BLOCK,
+            const_mat_tiles=meta.get("tile_uniform_mat"),
+        )
     if sort_lanes:
         st = jnp.concatenate([o, d, thr, acc, alive, prev, depth],
                              axis=0)[:, unsort]
@@ -669,7 +682,13 @@ def _stall_limits(k_pass, max_depth, check_every, full_every, *, narrow):
     full-resolve period spans — otherwise a healthy narrow drive with
     full_every > 20*check_every would be misdiagnosed as stalled."""
     factor = max(1, -(-full_every // check_every)) if narrow else 1
-    return 20 * factor, (256 + 4 * k_pass * (max_depth + 4)) * factor
+    # the poll metric is the count of slots with done == quota; under a
+    # big quota (the portal pass cap, up to 512) no slot retires until
+    # deep into the bulk phase, so the no-progress patience scales with
+    # the quota (neutral at the historical 64-spp pass size)
+    quota_factor = max(1, k_pass // 64)
+    return 20 * factor * quota_factor, \
+        (256 + 4 * k_pass * (max_depth + 4)) * factor
 
 
 def drive_pool_v2(
@@ -700,7 +719,9 @@ def drive_pool_v2(
     original plus one per compaction); summing every stage's acc rows keyed
     by its V2_ROW_PIX row reconstructs the pass radiance exactly.
     `on_check(cycle, width, unfin)` is called after each termination poll
-    (profiling hook).
+    (progress/cancel/profiling hook); a truthy return aborts the drive
+    immediately — the caller sees the partial pool as the last stage and
+    decides what to do with its ragged per-slot radiance.
 
     narrow_bufs (requires park_k > 0): most cycles resolve only the active
     path + the first `narrow_bufs` parked buffers; every `full_every`-th
@@ -804,8 +825,9 @@ def drive_pool_v2(
             cycle += n
             done_steps += n
         u = int(np.asarray(unfin))
-        if on_check is not None:
-            on_check(cycle, pool.shape[1], u)
+        if on_check is not None and on_check(cycle, pool.shape[1], u):
+            stages.append(pool)  # aborted: partial pool, ragged counts
+            return stages, rays
         if u == 0:
             stages.append(pool)
             return stages, rays
@@ -844,6 +866,7 @@ def make_portal_pass_runner_v2(
     check_every: int = 4,
     width: int | None = None,
     height: int | None = None,
+    on_check=None,
 ):
     """Build the v2 pipeline pass_runner. Each pass gives every pixel-slot a
     quota of k_pass samples; the pool cycles until every slot retires its
@@ -852,10 +875,27 @@ def make_portal_pass_runner_v2(
     sample counts are exact by construction — the regen-loop discipline,
     portal-deferred. PT_TPU_PIX_ORDER=morton relabels slots along the
     image Z-curve (morton_pixel_order) — measured neutral on the mesh
-    scene (see PERF.md), kept for sparser freeze patterns."""
+    scene (see PERF.md), kept for sparser freeze patterns.
+
+    on_check(cycle, width, unfin): forwarded to drive_pool_v2's poll —
+    the pipeline's mid-pass progress/cancel hook (passes are now up to
+    PORTAL pass-cap spp, so pass boundaries are too coarse for either).
+    A truthy return cancels the pass: its partial ragged radiance is
+    DISCARDED (the framebuffer keeps whole passes only — exact per-pixel
+    counts, parity with the orchestrator's pass accounting) and the
+    runner's .last_cancelled flips for the pipeline to read."""
     n_pad = _round_block(npix)
 
     def pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
+        pass_runner.last_cancelled = False
+        cancelled = False
+        hook = None
+        if on_check is not None:
+            def hook(cycle, w, unfin):
+                nonlocal cancelled
+                if on_check(cycle, w, unfin):
+                    cancelled = True
+                return cancelled
         sample_base = pass_idx * k_full
         pass_key = rng.chunk_key(base_key, pass_idx)
         seed0 = (
@@ -879,7 +919,13 @@ def make_portal_pass_runner_v2(
             pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
             portal_key=portal_key, cam_key=cam_key, max_depth=max_depth,
             rr_start_depth=rr_start_depth, check_every=check_every,
+            on_check=hook,
         )
+        if cancelled:
+            # drop the pass: its slots hold ragged per-pixel sample counts
+            # that cannot merge into the whole-pass framebuffer exactly
+            pass_runner.last_cancelled = True
+            return accum, jnp.float32(0.0)
         if pix_order is None:
             stages, first = stages[1:], stages[0]
             accum = accum + first[ROW_ACC:ROW_ACC + 3, :npix].T
@@ -888,6 +934,7 @@ def make_portal_pass_runner_v2(
             accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
         return accum, rays
 
+    pass_runner.last_cancelled = False
     return pass_runner
 
 

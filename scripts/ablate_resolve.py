@@ -94,15 +94,19 @@ def main():
 
     out = run()
     np.asarray(out[-1][0, :8])
+    # k back-to-back calls on the SAME inputs per timed region, ONE fetch:
+    # a single call + fetch measures the ~25 ms tunnel round-trip, not the
+    # kernel (every ablation variant read a flat 43-50 ms that way)
+    k = 16
     reps = []
     for _ in range(6):
         t0 = time.perf_counter()
-        out = run()
-        np.asarray(out[-1][0, :8])
-        reps.append(time.perf_counter() - t0)
+        outs = [run() for _ in range(k)]
+        np.asarray(outs[-1][-1][0, :8])
+        reps.append((time.perf_counter() - t0) / k)
     dt = sorted(reps)[1]
     segs = float(np.asarray(jnp.sum(out[-1])))
-    print(f"{variant} block={block}: {dt*1e3:7.2f} ms  "
+    print(f"{variant} block={block}: {dt*1e3:7.2f} ms/call  "
           f"{dt/n*1e9:6.1f} ns/lane  ({segs:.0f} traced)")
 
 

@@ -569,6 +569,65 @@ def test_drive_pool_v2_narrow_resolve(synth_portal):
     assert np.isfinite(acc).all() and (acc >= 0).all() and acc.mean() > 0
 
 
+def test_drive_pool_v2_on_check_abort(synth_portal):
+    """A truthy on_check return aborts the drive at that poll, returning
+    the partial pool — the mid-pass cancel path for big portal passes."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth = 2, 1
+    calls = []
+
+    def hook(cycle, width, unfin):
+        calls.append((cycle, width, unfin))
+        return True  # cancel at the first poll
+
+    with pltpu.force_tpu_interpret_mode():
+        stages, rays = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0, jnp.int32(5),
+            kbufs, portal_key=pkey, cam_key=cam_key,
+            max_depth=depth, rr_start_depth=5, check_every=1,
+            ladder=(), adaptive_polls=False, step_cap=2, park_k=1,
+        )
+        assert not calls  # no hook, no calls — and the pool completes
+        stages_c, rays_c = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0, jnp.int32(5),
+            kbufs, portal_key=pkey, cam_key=cam_key,
+            max_depth=depth, rr_start_depth=5, check_every=1,
+            ladder=(), adaptive_polls=False, step_cap=2, park_k=1,
+            on_check=hook,
+        )
+    assert len(calls) == 1  # aborted at the FIRST poll
+    done = np.asarray(stages[-1][portal_mod.V2_ROW_DONE][:npix])
+    assert np.all(done == spp)  # the un-hooked drive finished
+    done_c = np.asarray(stages_c[-1][portal_mod.V2_ROW_DONE][:npix])
+    # step_cap 2 at quota 4: one cycle cannot retire everything
+    assert np.any(done_c < spp)
+    assert float(rays_c) < float(rays)
+
+
+def test_portal_pass_runner_v2_mid_pass_cancel(synth_portal):
+    """make_portal_pass_runner_v2 with an on_check that cancels: the pass's
+    partial ragged radiance is DISCARDED (accum unchanged, zero rays) and
+    .last_cancelled flips for the pipeline's pass loop."""
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.render.portal import make_portal_pass_runner_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    runner = make_portal_pass_runner_v2(
+        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=2,
+        max_depth=1, check_every=1, on_check=lambda c, w, u: True,
+    )
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        accum2, rays = runner({"kernel": kbufs}, None, accum, 0, 2,
+                              rng.root_key(0))
+    assert runner.last_cancelled
+    assert float(rays) == 0.0
+    np.testing.assert_array_equal(np.asarray(accum2), np.asarray(accum))
+
+
 def test_portal_cycles_v2_fused_matches_unfused(synth_portal):
     """portal_cycles_v2 (n cycles in one fori dispatch, the tunnel
     amortization) is bitwise the same pool as n portal_cycle_v2 calls with
@@ -765,3 +824,7 @@ def test_stall_limits_scale_with_narrow_cadence():
     # old fixed 20-poll limit would have raised before the next full
     s1, h1 = _stall_limits(64, 12, 4, 128, narrow=True)
     assert s1 == 20 * 32 and h1 == h0 * 32
+    # big-quota passes (the portal pass cap): no slot retires until deep
+    # into the bulk phase, so the patience scales with quota/64
+    s2, h2 = _stall_limits(512, 12, 4, 4, narrow=False)
+    assert s2 == 20 * 8 and h2 == 256 + 4 * 512 * 16
