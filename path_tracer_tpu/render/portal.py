@@ -642,6 +642,40 @@ def morton_pixel_order(width: int, height: int) -> np.ndarray:
     return np.argsort(key, kind="stable").astype(np.int32)
 
 
+def freeze_pixel_order(portal_key: str, cam_key: str) -> np.ndarray:
+    """[npix] i32 slot→pixel order partitioning pixels by whether their
+    PRIMARY camera ray (center subpixel, no jitter) crosses the heavy-mesh
+    AABB — freeze-prone pixels first, raster order within each group
+    (PT_TPU_PIX_ORDER=freeze). CHEAP_BLOCK-sized pool blocks then hold
+    behaviorally homogeneous lanes: blocks of non-crossing pixels never
+    freeze on their primary segment and run the whole step budget
+    productively, while fully freeze-prone blocks stall together and
+    early-exit the cheap kernel's step loop instead of riding dead behind
+    a few long wall-path runners. Bounce segments are classified by their
+    PIXEL's primary behavior — approximate, but the mesh-facing set is
+    what freezes every segment (see PERF.md cycle decomposition)."""
+    from path_tracer_tpu.ops.pallas.trace_v2 import _SCENES
+
+    _, _, (lo, hi) = _SCENES[portal_key]
+    (sox, soy, soz), su, sv, lc, W, H = _SCENES[cam_key]
+    pix = np.arange(W * H, dtype=np.int64)
+    x = (pix % W).astype(np.float64)
+    y = (H - 1) - (pix // W).astype(np.float64)
+    sx = (x + 0.5) / W - 0.5
+    sy = (y + 0.5) / H - 0.5
+    so = (sox, soy, soz)
+    sp = [so[k] + su[k] * sx + sv[k] * sy for k in range(3)]
+    o = np.asarray(lc, np.float64)[:, None]
+    d = np.stack([lc[k] - sp[k] for k in range(3)])
+    inv = 1.0 / np.where(np.abs(d) < 1e-30, 1e-30, d)
+    ta = (np.asarray(lo, np.float64)[:, None] - o) * inv
+    tb = (np.asarray(hi, np.float64)[:, None] - o) * inv
+    t_en = np.minimum(ta, tb).max(0)
+    t_ex = np.maximum(ta, tb).min(0)
+    crosses = (t_ex >= t_en) & (t_ex > 0.0)
+    return np.concatenate([pix[crosses], pix[~crosses]]).astype(np.int32)
+
+
 def make_pool_v2(npix: int, n_pad: int, k_pass: int,
                  park_k: int | None = None, pix_order=None):
     """Fresh pixel-pinned pool: slot i owns pixel min(i, npix-1) — or
@@ -908,11 +942,15 @@ def make_portal_pass_runner_v2(
         # all-dead resolve blocks there, and the compaction ladder already
         # handles the drain. Kept selectable for scenes whose freeze
         # pattern is sparser (see PERF.md).
+        order_env = os.environ.get("PT_TPU_PIX_ORDER", "row")
         use_morton = (width is not None and height is not None
-                      and width * height == npix
-                      and os.environ.get("PT_TPU_PIX_ORDER",
-                                         "row") == "morton")
-        pix_order = morton_pixel_order(width, height) if use_morton else None
+                      and width * height == npix and order_env == "morton")
+        if use_morton:
+            pix_order = morton_pixel_order(width, height)
+        elif order_env == "freeze":
+            pix_order = freeze_pixel_order(portal_key, cam_key)
+        else:
+            pix_order = None
         pool = make_pool_v2(npix, n_pad, k_pass, pix_order=pix_order)
 
         stages, rays = drive_pool_v2(

@@ -708,6 +708,55 @@ def test_resolve_sort_order_groups_lanes():
     assert list(np.asarray(ord5)) == [1, 3, 2, 4, 0]
 
 
+def test_freeze_pixel_order_partitions(synth_portal):
+    """freeze_pixel_order: a bijection onto [0, npix) that puts every
+    pixel whose primary ray crosses the heavy-mesh AABB strictly before
+    every pixel whose ray misses it, raster order within each group."""
+    from path_tracer_tpu.ops.pallas.trace_v2 import _SCENES
+    from path_tracer_tpu.render.portal import freeze_pixel_order
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    order = freeze_pixel_order(pkey, cam_key)
+    assert sorted(order.tolist()) == list(range(npix))
+    # the synth plate fills the whole view — every primary crosses, so
+    # the order degenerates to raster (covers the all-cross edge case)
+    assert order.tolist() == list(range(npix))
+
+    # non-trivial split: same camera, an AABB covering only part of the
+    # view (registered under synthetic keys — freeze_pixel_order reads
+    # consts[2] and the camera tuple only)
+    from path_tracer_tpu.ops.pallas import trace_v2 as _tv2
+
+    pkey2 = pkey + ":half-aabb"
+    _tv2.register_scene(pkey2, (None, None,
+                                ((-0.35, -0.1, -0.6), (0.0, 0.1, -0.4))))
+    order = freeze_pixel_order(pkey2, cam_key)
+    assert sorted(order.tolist()) == list(range(npix))
+    # independent classification: numpy slab test on the exact primary rays
+    _, _, (lo, hi) = _SCENES[pkey2]
+    (sox, soy, soz), su, sv, lc, W, H = _SCENES[cam_key]
+    pix = np.arange(npix)
+    x = (pix % W).astype(np.float64)
+    y = (H - 1) - (pix // W).astype(np.float64)
+    sx = (x + 0.5) / W - 0.5
+    sy = (y + 0.5) / H - 0.5
+    so = (sox, soy, soz)
+    sp = [so[k] + su[k] * sx + sv[k] * sy for k in range(3)]
+    d = np.stack([lc[k] - sp[k] for k in range(3)])
+    o = np.asarray(lc)[:, None]
+    inv = 1.0 / np.where(np.abs(d) < 1e-30, 1e-30, d)
+    ta = (np.asarray(lo)[:, None] - o) * inv
+    tb = (np.asarray(hi)[:, None] - o) * inv
+    crosses = (np.maximum(ta, tb).min(0) >= np.minimum(ta, tb).max(0)) \
+        & (np.maximum(ta, tb).min(0) > 0)
+    n_cross = int(crosses.sum())
+    assert 0 < n_cross < npix  # the synth scene splits both ways
+    assert set(order[:n_cross].tolist()) == set(pix[crosses].tolist())
+    # raster order within each group (stable partition)
+    assert list(order[:n_cross]) == sorted(order[:n_cross])
+    assert list(order[n_cross:]) == sorted(order[n_cross:])
+
+
 def test_morton_pixel_order_is_zcurve_permutation():
     """morton_pixel_order: a bijection onto [0, npix) whose consecutive
     slots tile the image as Z-curve squares (so RESOLVE_BLOCK-sized slot
