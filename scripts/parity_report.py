@@ -105,8 +105,17 @@ def main():
         "lane-exact equality between the XLA integrator and both Pallas",
         "kernels is enforced in tests/test_pallas.py.",
     ]
+    # preserve hand-maintained sections below the generated block (the
+    # literal-estimator study from scripts/parity_literal.py lives there)
+    keep = ""
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            old = fh.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            keep = old[idx:]
     with open(args.out, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + keep)
     print(f"wrote {args.out}")
 
 
