@@ -311,7 +311,9 @@ def render(
         ):
             regen_cap = 64
         else:
-            regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "512"))
+            # 64/512/1024-spp passes measured 119/161/176 Mray/s on the
+            # mesh headline (PERF.md) — the drain amortizes with pass size
+            regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024"))
     if config.samples_per_pass:
         k = config.samples_per_pass
         if regen_cap:

@@ -576,7 +576,10 @@ def test_drive_pool_v2_on_check_abort(synth_portal):
     from path_tracer_tpu.render.portal import make_pool_v2
 
     pkey, cam_key, kbufs, npix, n_pad = synth_portal
-    spp, depth = 2, 1
+    # spp 4 at step_cap 2: one cycle provably cannot retire a slot's
+    # quota (2 cheap steps + a resolve advance at most 3 samples), so the
+    # first poll always sees unfinished slots for the abort to strand
+    spp, depth = 4, 1
     calls = []
 
     def hook(cycle, width, unfin):
