@@ -804,14 +804,28 @@ def drive_pool_v2(
         # overshooting a few sub-ms cycles is free. adaptive_polls=False
         # keeps polls exactly at check_every (tests want every rung hit).
         w = pool.shape[1]
-        if not adaptive_polls or w >= 131072:
+        if not adaptive_polls:
             steps = check_every
+        elif w >= 131072:
+            # big-quota bulk cycles are ~105 ms; halving the poll rate
+            # halves a ~25 ms queue-draining round-trip per ~420 ms
+            steps = (2 if k_pass >= 256 else 1) * check_every
         elif w >= 16384:
             steps = 2 * check_every
         elif w > 2048:
             steps = 4 * check_every
         else:
             steps = 8 * check_every
+        if adaptive_polls and cycle == 0:
+            # provably futile polls: a slot's done count rises by at most
+            # step_cap (cheap deaths) + park_k+1 (resolve deaths) per
+            # cycle, so no slot can retire a k_pass quota before
+            # k_pass/(step_cap+park_k+1) cycles — run that burst unpolled
+            # (each poll is a queue-draining ~25 ms tunnel round-trip).
+            # The progress/cancel hook fires at polls, so cap the burst.
+            per_cycle = (step_cap if step_cap else k_pass * max_depth) \
+                + park_k + 1
+            steps = max(steps, min(k_pass // per_cycle, 16 * check_every))
         # fusing cycles into one dispatch only pays where dispatch overhead
         # rivals the cycle (~1.75 ms through the remote-TPU tunnel); on CPU
         # (tests, interpreter) the fori-wrapped program compiles
