@@ -22,9 +22,9 @@ CONFIGS = [
     ("two-spheres", 384, 256, 2048),
     ("three-spheres", 384, 256, 2048),
     ("cornell", 1024, 768, 512),
-    # both mesh rows: 512 spp = one big portal pass (steady-state, the
-    # cornell-row protocol); 64 spp = the drain-dominated short render
-    ("mesh", 1024, 768, 512),
+    # mesh rows: 1024 spp = one big portal pass (steady-state headline);
+    # 64 spp = the drain-dominated short render
+    ("mesh", 1024, 768, 1024),
     ("mesh", 1024, 768, 64),
 ]
 
