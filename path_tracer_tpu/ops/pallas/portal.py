@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from path_tracer_tpu.models.scene import ScenePacked
 from path_tracer_tpu.ops.pallas.trace_kernel import (
-    _uniform, make_raygen, shade_phase,
+    TRI_TILE, _scene_keys, _uniform, make_isect, make_raygen, shade_phase,
 )
 from path_tracer_tpu.ops.pallas.trace_v2 import (
     SUB, _SCENES, f, build_scene_consts, make_prim_scan, register_scene,
@@ -602,6 +602,259 @@ def trace_cheap_regen(
         pool.reshape(rows, rows8, L),
     )
     return out.reshape(rows, n), jnp.sum(counts)
+
+
+def _make_kernel_resolve_pool(
+    R, parts, B, bpp, max_depth, rr_start_depth, fixed_uniforms, pretest,
+    n_tiles, tile_base, const_mat_tiles,
+):
+    """Pool-native resolve kernel: one full-scene bounce over the active
+    path and the first parts-1 parked buffers of a [R, B] pool column
+    block, with ALL retire/park bookkeeping done in-kernel.
+
+    The grid is (n // B, parts) with the part index iterating fastest; the
+    pool block's index map ignores the part, so Pallas keeps ONE fetched
+    copy resident in VMEM across the parts sweep and flushes the (aliased)
+    output block once per column. This replaces the scheduler's XLA glue
+    around trace_pallas_resolve — the per-part concatenates, where-selects
+    and pool reassembly that measured ~15 ms of a ~104 ms mesh bulk cycle
+    (PERF.md skip_kernel ablation). Bookkeeping semantics are EXACTLY
+    render.portal.portal_resolve_phase's, and the per-block PRNG seeding
+    reproduces the concatenated layout's block ids (g = part * bpp + i),
+    so the two paths are bit-identical (tests/test_portal.py):
+
+      part 0 (active path): bounce; done += ended (alive 1 -> 0).
+      part j >= 1 (buffer j-1): bounce the FROZEN lanes (BUF_STATE == 1)
+        with acc = 0; slot acc += the bounce's radiance delta; done +=
+        newly-ended; BUF_STATE -> 2 (ready) / 0 (ended); EMPTY and READY
+        buffers pass through untouched.
+    """
+
+    def kernel(seed_ref, pool_ref, *args):
+        if fixed_uniforms:
+            u_ref, *args = args
+        *tables, pool_out, count_out = args
+        isect = make_isect(tables, B, pretest, n_tiles, tile_base,
+                           const_mat_tiles)
+        j = pl.program_id(1)
+        if not fixed_uniforms:
+            # same per-block stream ids as the concatenated resolve input
+            # (global block g = part * blocks_per_part + column)
+            pltpu.prng_seed(
+                seed_ref[0, 0]
+                + (j * jnp.int32(bpp) + pl.program_id(0))
+                * jnp.int32(-1640531535)
+            )
+
+        @pl.when(j == 0)
+        def _init():
+            # rows no part writes (pix, started, un-resolved buffers) ride
+            # this one VMEM-resident copy; later parts read-modify-write
+            # the done/acc rows in place
+            pool_out[...] = pool_ref[...]
+            count_out[...] = jnp.zeros((1, B), jnp.float32)
+
+        # gather part j's resolve state (where-chain over the broadcast
+        # part index — 15 VMEM row reads per part, cheap next to the sweep)
+        def row(r):
+            return pool_ref[r, :][None, :]
+
+        jv = jnp.zeros((1, B)) + j.astype(jnp.float32)
+        o = [row(ROW_O + k) for k in range(3)]
+        d = [row(ROW_D + k) for k in range(3)]
+        thr = [row(ROW_THR + k) for k in range(3)]
+        acc = [row(ROW_ACC + k) for k in range(3)]
+        alive_f = row(ROW_ALIVE)
+        prev = row(ROW_PREV)
+        depth = row(ROW_DEPTH)
+        for jj in range(1, parts):
+            b = buf_row(jj - 1)
+            sel = jv == float(jj)
+
+            def w(a, r, sel=sel):
+                return jnp.where(sel, pool_ref[r, :][None, :], a)
+
+            o = [w(o[k], b + BUF_O + k) for k in range(3)]
+            d = [w(d[k], b + BUF_D + k) for k in range(3)]
+            thr = [w(thr[k], b + BUF_THR + k) for k in range(3)]
+            # buffers sweep a zero acc: their output is a pure delta
+            acc = [jnp.where(sel, 0.0, acc[k]) for k in range(3)]
+            st = pool_ref[b + BUF_STATE, :][None, :]
+            frozen = jnp.where((st > 0.5) & (st < 1.5), 1.0, 0.0)
+            alive_f = jnp.where(sel, frozen, alive_f)
+            prev = w(prev, b + BUF_PREV)
+            depth = w(depth, b + BUF_DEPTH)
+        alive_in = alive_f
+
+        if fixed_uniforms:
+            u_fix = u_ref[0:4, :]
+
+        def bounce(carry):
+            o, d, thr, acc, alive_f, prev, depth, counts = carry
+            alive = alive_f > 0.0
+            counts = counts + alive_f
+            found, point, nrm, color, emis, rtype, new_prev = isect(
+                o, d, prev, alive
+            )
+            u = u_fix if fixed_uniforms else _uniform((4, B))
+            u4 = [u[k, :][None, :] for k in range(4)]
+            new_depth = depth + 1.0
+            acc, thr_new, d_new, alive_new = shade_phase(
+                d, nrm, color, emis, rtype, found, thr, acc, u4,
+                new_depth, max_depth, rr_start_depth,
+            )
+            am = alive_new.astype(jnp.float32)
+            o = [jnp.where(alive_new, point[k], o[k]) for k in range(3)]
+            d = [jnp.where(alive_new, d_new[k], d[k]) for k in range(3)]
+            thr = [thr_new[k] * am for k in range(3)]
+            depth = depth + alive_f
+            return (o, d, thr, acc, am, new_prev, depth, counts)
+
+        # all-dead part skip (drained buffers in the tail phase): one
+        # scalar branch elides the whole sweep, as in the stepped kernel
+        live = alive_f
+        while live.shape[-1] > 128:
+            h = live.shape[-1] // 2
+            live = live[..., :h] + live[..., h:]
+        any_alive = jnp.sum(live) > 0.0
+        counts0 = jnp.zeros((1, B), jnp.float32)
+        (o, d, thr, acc, alive_out, prev, depth, counts) = jax.lax.cond(
+            any_alive, bounce, lambda c: c,
+            (o, d, thr, acc, alive_f, prev, depth, counts0),
+        )
+        count_out[0, :] = count_out[0, :] + counts[0, :]
+
+        @pl.when(j == 0)
+        def _wb_active():
+            for k in range(3):
+                pool_out[ROW_O + k, :] = o[k][0, :]
+                pool_out[ROW_D + k, :] = d[k][0, :]
+                pool_out[ROW_THR + k, :] = thr[k][0, :]
+                pool_out[ROW_ACC + k, :] = acc[k][0, :]
+            pool_out[ROW_ALIVE, :] = alive_out[0, :]
+            pool_out[ROW_PREV, :] = prev[0, :]
+            pool_out[ROW_DEPTH, :] = depth[0, :]
+            ended = (alive_in > 0.0) & (alive_out <= 0.0)
+            pool_out[V2_ROW_DONE, :] = (
+                pool_ref[V2_ROW_DONE, :] + ended.astype(jnp.float32)[0, :]
+            )
+
+        for jj in range(1, parts):
+            b = buf_row(jj - 1)
+
+            @pl.when(j == jj)
+            def _wb_buf(b=b):
+                proc = alive_in > 0.0  # frozen buffers only
+                pj_alive = alive_out > 0.0
+
+                def sel(new, r):
+                    return jnp.where(
+                        proc, new, pool_ref[r, :][None, :]
+                    )[0, :]
+
+                for k in range(3):
+                    pool_out[b + BUF_O + k, :] = sel(o[k], b + BUF_O + k)
+                    pool_out[b + BUF_D + k, :] = sel(d[k], b + BUF_D + k)
+                    pool_out[b + BUF_THR + k, :] = sel(
+                        thr[k], b + BUF_THR + k
+                    )
+                pool_out[b + BUF_PREV, :] = sel(prev, b + BUF_PREV)
+                pool_out[b + BUF_DEPTH, :] = sel(depth, b + BUF_DEPTH)
+                ready = jnp.where(pj_alive, 2.0, 0.0)
+                pool_out[b + BUF_STATE, :] = sel(ready, b + BUF_STATE)
+                # parked radiance lives in the slot acc (shared across the
+                # slot's samples); the buffer swept a zero acc, so its
+                # output adds as a pure delta
+                for k in range(3):
+                    pool_out[ROW_ACC + k, :] = (
+                        pool_out[ROW_ACC + k, :] + acc[k][0, :]
+                    )
+                newly = proc & ~pj_alive
+                pool_out[V2_ROW_DONE, :] = (
+                    pool_out[V2_ROW_DONE, :]
+                    + newly.astype(jnp.float32)[0, :]
+                )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "parts", "max_depth", "rr_start_depth", "block", "const_mat_tiles",
+    ),
+    donate_argnums=(0,),
+)
+def trace_pallas_resolve_pool(
+    pool,
+    kscene: dict,
+    seed,
+    *,
+    parts: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    block: int = 1024,
+    uniforms=None,
+    const_mat_tiles: tuple | None = None,
+):
+    """Pool-native resolve: one full-scene bounce over the active path and
+    the first parts-1 parked buffers of a v2/v3 pool, with the retire/park
+    bookkeeping done in-kernel (see _make_kernel_resolve_pool) — the
+    fused form of render.portal.portal_resolve_phase, bit-identical to it.
+
+    pool: [pool_rows, n] f32, n % block == 0. uniforms (testing only):
+    [4, parts * n] injected uniforms laid out like the concatenated
+    resolve input (part-major), replacing the PRNG. Returns
+    (pool', rays_traced)."""
+    R, n = pool.shape
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    need = V3_BUF_BASE + (parts - 1) * BUF_ROWS if parts > 1 else V2_ROWS
+    if R < need:
+        raise ValueError(f"pool has {R} rows; parts={parts} needs >= {need}")
+    pretest = "gate" in kscene
+    n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
+    T = kscene["tri_na"].shape[1]
+    tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
+    scene_keys = _scene_keys(kscene)
+    fixed = uniforms is not None
+    bpp = n // block  # blocks per part (matches the concatenated layout)
+    kernel = _make_kernel_resolve_pool(
+        R, parts, block, bpp, max_depth, rr_start_depth, fixed, pretest,
+        n_tiles, tile_base, const_mat_tiles,
+    )
+
+    pool_spec = pl.BlockSpec((R, block), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec((1, block), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    uni_specs = [
+        pl.BlockSpec((4, block), lambda i, j: (0, j * bpp + i),
+                     memory_space=pltpu.VMEM)
+    ] if fixed else []
+    uni_args = [uniforms] if fixed else []
+    out, counts = pl.pallas_call(
+        kernel,
+        grid=(bpp, parts),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pool_spec,
+            *uni_specs,
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in scene_keys],
+        ],
+        out_specs=(pool_spec, cnt_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        pool,
+        *uni_args,
+        *[kscene[k] for k in scene_keys],
+    )
+    return out, jnp.sum(counts)
 
 
 @functools.partial(

@@ -531,6 +531,398 @@ def shade_phase(d, nrm, color, emis, rtype, found, thr, acc, u4,
     return acc, thr_new, d_new, alive_new
 
 
+def make_isect(tables, B, pretest, n_tiles, tile_base, const_mat_tiles=None):
+    """Build the full-scene closest-hit intersector shared by the stepped /
+    regen kernels (_make_kernel) and the pool-native resolver
+    (ops.pallas.portal.trace_pallas_resolve_pool — ONE definition so the
+    intersection semantics cannot drift between them).
+
+    tables: the scene table refs in _scene_keys order. Returns
+    isect(o, d, prev, alive) -> (found, point, nrm, color, emis, rtype,
+    new_prev) over [1, B]-row lane vectors."""
+    (
+        sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
+        *rest,
+    ) = tables
+    if pretest:
+        bnd_center, bnd_rad2, gate, *rest = rest
+    if n_tiles:
+        tile_lo, tile_hi, *rest = rest
+    (
+        tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
+        tri_normal, tri_color, tri_emis, tri_rtype, tri_order, tri_quad,
+        tri_pid,
+    ) = rest
+    S = sph_rad2.shape[1]
+    T = tri_na.shape[1]
+
+    def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
+        return ref[k, :][:, None]
+
+    sphc = [tcol(sph_center, k) for k in range(3)]
+    sph_r2 = sph_rad2[0, :][:, None]
+    if pretest:
+        bndc = [tcol(bnd_center, k) for k in range(3)]
+        bnd_r2 = bnd_rad2[0, :][:, None]
+    # tpu.iota only produces integers — build f32 indices via cast
+    sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
+
+    def isect(o, d, prev, alive):
+        """Closest hit for the current lanes. Returns (found, point,
+        nrm, color, emis, rtype, new_prev)."""
+        # --- spheres (+ bounding pre-test when it can gate hits) ---
+        t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
+        if pretest:
+            t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
+            pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
+            tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
+                gate[...], pre_ok, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # --- triangles (affine feature form) ---
+        m = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+
+        def tri_block(lo, size, rays=None, lane=(0, None),
+                      const_mat=False, lite=False):
+            """Intersect triangles [lo, lo+size) (static slice) against
+            the ray lane window `lane=(start, width)` (whole block when
+            width is None); rays=(o, d, m, prev) defaults to the full
+            block vectors. Returns per-ray (d_t, i_t, normal3, color3,
+            emis3, rtype, order), each [1, width]. const_mat: the
+            slice's triangles share color/emis/rtype (static fact from
+            kernel_scene_buffers meta) — read them once from the first
+            row instead of 8 one-hot reductions. lite: return only
+            (d_t, winner ROW index [1,width]) — the caller defers all
+            feature reads to one fetch after merging tiles (see
+            fetch_tri_features)."""
+            ls, lw = lane
+            lw = B if lw is None else lw
+            ob, db, mb, prevb = rays if rays is not None else (o, d, m, prev)
+
+            def col(tab, k):
+                return tab[k, lo : lo + size][:, None]
+
+            def dotT(tab, vec):  # [3,size] x 3x[1,lw] -> [size,lw]
+                return (
+                    col(tab, 0) * vec[0]
+                    + col(tab, 1) * vec[1]
+                    + col(tab, 2) * vec[2]
+                )
+
+            # row iota drives the first-wins tie-break/one-hot; the
+            # PACKED id column drives prev-exclusion and the winner id
+            # (prev is meaningful across kernels — see kernel_scene_buffers)
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (size, lw), 0)
+                .astype(jnp.float32)
+                + float(lo)
+            )
+            pid = tri_pid[0, lo : lo + size][:, None]
+            det = -dotT(tri_n, db)
+            udet = dotT(tri_e2, mb) - dotT(tri_e2xa, db)
+            vdet = -dotT(tri_e1, mb) - dotT(tri_axe1, db)
+            tdet = dotT(tri_n, ob) - tri_na[0, lo : lo + size][:, None]
+
+            dvalid = jnp.abs(det) >= EPS_TRI_DET
+            inv = 1.0 / jnp.where(dvalid, det, 1.0)
+            u_ = udet * inv
+            v_ = vdet * inv
+            t_ = tdet * inv
+            # quads accept u,v ∈ [0,1]²; triangles u+v ≤ 1. Select on
+            # the f32 operand, not the booleans — i1-vector selects hit
+            # an unsupported trunci in Mosaic lowering.
+            isq = tri_quad[0, lo : lo + size][:, None] > 0.5
+            uv_hi = jnp.where(isq, v_, u_ + v_)
+            valid = (
+                dvalid
+                & (u_ >= 0.0) & (u_ <= 1.0)
+                & (v_ >= 0.0) & (uv_hi <= 1.0)
+                & (t_ > EPS_TRI_T)
+                & (pid != prevb)
+            )
+            if pretest:
+                valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
+            t_tri = jnp.where(valid, t_, BIG)
+            if lite:
+                if ABLATE == "nomin":  # timing ablation: plain min
+                    d_t = jnp.min(t_tri, axis=0, keepdims=True)
+                    return d_t, d_t
+                d_t, _, imin = _first_min_sublane(t_tri, idx)
+                return d_t, imin
+            d_t, oh_t, _ = _first_min_sublane(t_tri, idx)
+
+            def read_t(tab, k):
+                return jnp.sum(col(tab, k) * oh_t, axis=0, keepdims=True)
+
+            if const_mat:
+                def bconst(tab, k):
+                    # (1,1) row read broadcast across the lane window
+                    return tab[k, lo:lo + 1][None, :] + jnp.zeros((1, lw))
+
+                color_t = [bconst(tri_color, k) for k in range(3)]
+                emis_t = [bconst(tri_emis, k) for k in range(3)]
+                rtype_t = bconst(tri_rtype, 0)
+            else:
+                color_t = [read_t(tri_color, k) for k in range(3)]
+                emis_t = [read_t(tri_emis, k) for k in range(3)]
+                rtype_t = read_t(tri_rtype, 0)
+
+            return (
+                d_t,
+                read_t(tri_pid, 0),
+                [read_t(tri_normal, k) for k in range(3)],
+                color_t,
+                emis_t,
+                rtype_t,
+                read_t(tri_order, 0),
+            )
+
+        def merge_closer(cur, res):
+            """strictly-closer merge of two tri_block results."""
+            better = res[0] < cur[0]  # Morton-order first-wins on ties
+
+            def w(a, b):
+                return jnp.where(better, a, b)
+
+            return (
+                w(res[0], cur[0]), w(res[1], cur[1]),
+                [w(res[2][k], cur[2][k]) for k in range(3)],
+                [w(res[3][k], cur[3][k]) for k in range(3)],
+                [w(res[4][k], cur[4][k]) for k in range(3)],
+                w(res[5], cur[5]), w(res[6], cur[6]),
+            )
+
+        d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
+
+        def read_s(tab, k):  # [1,B]
+            return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
+
+        def _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord):
+            order_s = read_s(sph_order, 0)
+            sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < triord))
+            t = jnp.where(sph_wins, d_s, d_t)
+            found = (t < BIG) & alive
+
+            point = [o[k] + d[k] * t for k in range(3)]
+            sn = [point[k] - read_s(sph_center, k) for k in range(3)]
+            sl = jax.lax.rsqrt(
+                jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
+            )
+            nrm = [
+                jnp.where(sph_wins, sn[k] * sl, trin[k]) for k in range(3)
+            ]
+            color = [
+                jnp.where(sph_wins, read_s(sph_color, k), tric[k])
+                for k in range(3)
+            ]
+            emis = [
+                jnp.where(sph_wins, read_s(sph_emis, k), trie[k])
+                for k in range(3)
+            ]
+            rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
+            new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
+            return found, point, nrm, color, emis, rtype, new_prev
+
+        if not n_tiles:
+            d_t, i_t, trin, tric, trie, trirt, triord = tri_block(0, T)
+        else:
+            # block-coherent tile culling: slab-test each Morton tile's
+            # AABB against the whole ray block and skip its triangles
+            # when no live lane can hit it CLOSER than its current best
+            # hit (block divergence is a scalar branch — cheap on TPU).
+            # Entry/exit are ray-only, so they hoist out of the loop;
+            # the best-t comparison happens per tile as d_t shrinks.
+            # Oversized triangles (walls) live in an always-tested base
+            # set at the front of the tables — their hits immediately
+            # tighten the bound for every tile that follows.
+            lo_t = [tcol(tile_lo, k) for k in range(3)]
+            hi_t = [tcol(tile_hi, k) for k in range(3)]
+            inv = [
+                1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
+                for k in range(3)
+            ]
+            t_en = jnp.zeros((1, B))
+            t_ex = jnp.full((1, B), BIG)
+            for k in range(3):
+                ta = (lo_t[k] - o[k]) * inv[k]  # [C,B]
+                tb = (hi_t[k] - o[k]) * inv[k]
+                t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
+                t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
+            tl_poss = (t_ex >= t_en) & (t_ex >= 0.0) & alive  # [C,B]
+
+            CW = CULL_CHUNK if 0 < CULL_CHUNK < B else B
+            if CW == B:
+                # DEFERRED-FETCH sweep (production): tiles carry only
+                # (closest t, winner row); the 12 per-winner feature
+                # rows are fetched ONCE after the merge as 3 exact
+                # bf16-split one-hot matmuls per slice (MXU) — the
+                # per-tile one-hot reductions were ~20% of the whole
+                # resolve's VPU time. Bitwise-identical: the bf16
+                # split f = hi+mid+lo is exact (8+8+8 = 24 mantissa
+                # bits) and the one-hot leaves one product per lane.
+                st = tri_block(0, tile_base, lite=True)
+                for c in range(n_tiles):
+                    t_lo = tile_base + c * TRI_TILE
+                    if FORCE_TILES:
+                        res = tri_block(t_lo, TRI_TILE, lite=True)
+                    else:
+                        bound = jnp.minimum(st[0], d_s)
+                        cand = tl_poss[c][None, :] & (
+                            t_en[c][None, :] < bound
+                        )
+                        any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
+                        res = jax.lax.cond(
+                            any_hit,
+                            lambda lo2=t_lo: tri_block(
+                                lo2, TRI_TILE, lite=True),
+                            lambda: (jnp.full((1, B), BIG),
+                                     jnp.full((1, B), BIG)),
+                        )
+                    better = res[0] < st[0]
+                    st = (jnp.where(better, res[0], st[0]),
+                          jnp.where(better, res[1], st[1]))
+                d_t, win_row = st
+
+                def dot3(feats, ohc):
+                    # exact f32 one-hot gather on the MXU: split the
+                    # feature rows into 3 bf16 parts (hi/mid/lo — an
+                    # exact decomposition) and accumulate in f32
+                    hi = feats.astype(jnp.bfloat16)
+                    r1 = feats - hi.astype(jnp.float32)
+                    mid = r1.astype(jnp.bfloat16)
+                    lo3 = (r1 - mid.astype(jnp.float32)).astype(
+                        jnp.bfloat16)
+                    ob = ohc.astype(jnp.bfloat16)
+                    dn = (((1,), (0,)), ((), ()))
+                    out = jax.lax.dot_general(
+                        hi, ob, dn, preferred_element_type=jnp.float32)
+                    out = out + jax.lax.dot_general(
+                        mid, ob, dn, preferred_element_type=jnp.float32)
+                    return out + jax.lax.dot_general(
+                        lo3, ob, dn, preferred_element_type=jnp.float32)
+
+                feat12 = jnp.zeros((12, B), jnp.float32)
+                # tile_base >= 8 always (kernel_scene_buffers pads the
+                # base set to at least one sublane row)
+                slices = [(0, tile_base)] + [
+                    (tile_base + c * TRI_TILE, TRI_TILE)
+                    for c in range(n_tiles)
+                ]
+                if ABLATE == "nofetch":  # timing ablation: skip fetch
+                    slices = []
+                for lo2, size in slices:
+                    rows = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (size, B), 0
+                        ).astype(jnp.float32) + float(lo2)
+                    )
+                    ohc = (rows == win_row).astype(jnp.float32)
+                    feats = jnp.concatenate([
+                        tri_normal[:, lo2:lo2 + size],
+                        tri_color[:, lo2:lo2 + size],
+                        tri_emis[:, lo2:lo2 + size],
+                        tri_rtype[:, lo2:lo2 + size],
+                        tri_pid[:, lo2:lo2 + size],
+                        tri_order[:, lo2:lo2 + size],
+                    ], axis=0)
+                    feat12 = feat12 + dot3(feats, ohc)
+                trin = [feat12[k][None, :] for k in range(3)]
+                tric = [feat12[3 + k][None, :] for k in range(3)]
+                trie = [feat12[6 + k][None, :] for k in range(3)]
+                trirt = feat12[9][None, :]
+                i_t = feat12[10][None, :]
+                triord = feat12[11][None, :]
+                return _merge_sph_tri(
+                    d_t, i_t, trin, tric, trie, trirt, triord)
+
+            base_res = tri_block(0, tile_base)
+            chunk_states = []
+            for j in range(B // CW):
+                ls = j * CW
+
+                # NB: pick a name that nothing below reuses — the last
+                # iteration's closure outlives this loop in function scope
+                def lslice(x, ls=ls):
+                    return x[:, ls : ls + CW]
+
+                st = (
+                    lslice(base_res[0]), lslice(base_res[1]),
+                    [lslice(v) for v in base_res[2]],
+                    [lslice(v) for v in base_res[3]],
+                    [lslice(v) for v in base_res[4]],
+                    lslice(base_res[5]), lslice(base_res[6]),
+                ) if CW < B else base_res
+                rays_j = (
+                    [lslice(x) for x in o], [lslice(x) for x in d],
+                    [lslice(x) for x in m], lslice(prev),
+                ) if CW < B else None
+                d_s_j = lslice(d_s) if CW < B else d_s
+
+                lw = CW if CW < B else B
+                miss1 = jnp.full((1, lw), BIG)
+                zero3 = [jnp.zeros((1, lw)) for _ in range(3)]
+                skip_val = (
+                    miss1, jnp.full((1, lw), -1.0),
+                    zero3, list(zero3), list(zero3),
+                    jnp.zeros((1, lw)), jnp.full((1, lw), 1.0e9),
+                )
+                for c in range(n_tiles):
+                    cmat = bool(const_mat_tiles[c]) if const_mat_tiles \
+                        else False
+                    if FORCE_TILES:
+                        res = tri_block(
+                            tile_base + c * TRI_TILE, TRI_TILE,
+                            rays=rays_j,
+                            lane=(ls, CW if CW < B else None),
+                            const_mat=cmat,
+                        )
+                        st = merge_closer(st, res)
+                        continue
+                    bound = jnp.minimum(st[0], d_s_j)  # closest hit so far
+                    cand = tl_poss[c, ls : ls + CW][None, :] & (
+                        t_en[c, ls : ls + CW][None, :] < bound
+                    )
+                    any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
+                    # merge OUTSIDE the cond (a cond returning the whole
+                    # merged state measured ~5% slower than one returning
+                    # just the tile result)
+                    res = jax.lax.cond(
+                        any_hit,
+                        lambda lo=tile_base + c * TRI_TILE, rj=rays_j,
+                               ls=ls, cm=cmat: tri_block(
+                            lo, TRI_TILE, rays=rj,
+                            lane=(ls, CW if CW < B else None),
+                            const_mat=cm,
+                        ),
+                        lambda: skip_val,
+                    )
+                    st = merge_closer(st, res)
+                chunk_states.append(st)
+
+            if CW < B:
+                def cat(parts):
+                    return jnp.concatenate(parts, axis=1)
+
+                d_t = cat([c_[0] for c_ in chunk_states])
+                i_t = cat([c_[1] for c_ in chunk_states])
+                trin = [cat([c_[2][k] for c_ in chunk_states]) for k in range(3)]
+                tric = [cat([c_[3][k] for c_ in chunk_states]) for k in range(3)]
+                trie = [cat([c_[4][k] for c_ in chunk_states]) for k in range(3)]
+                trirt = cat([c_[5] for c_ in chunk_states])
+                triord = cat([c_[6] for c_ in chunk_states])
+            else:
+                (d_t, i_t, trin, tric, trie, trirt, triord) = chunk_states[0]
+
+        return _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord)
+
+    return isect
+
+
 def _make_kernel(
     S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
     n_tiles=0, tile_base=0, regen=None, per_lane_depth=False,
@@ -568,20 +960,8 @@ def _make_kernel(
         if fixed_uniforms:
             u_ref = rest[0]  # [n_steps*4, B] precomputed uniforms
             rest = rest[1:]
-        (
-            sph_center, sph_rad2, sph_color, sph_emis, sph_rtype, sph_order,
-            *rest,
-        ) = rest
-        if pretest:
-            bnd_center, bnd_rad2, gate, *rest = rest
-        if n_tiles:
-            tile_lo, tile_hi, *rest = rest
-        (
-            tri_n, tri_e1, tri_e2, tri_e2xa, tri_axe1, tri_na,
-            tri_normal, tri_color, tri_emis, tri_rtype, tri_order, tri_quad,
-            tri_pid,
-            *outs,
-        ) = rest
+        n_tab = 6 + (3 if pretest else 0) + (2 if n_tiles else 0) + 13
+        tables, outs = rest[:n_tab], list(rest[n_tab:])
         depth0 = seed_ref[0, 1] if regen is None else jnp.int32(0)
         if not fixed_uniforms:
             # Knuth multiplicative hash (golden-ratio constant as signed i32)
@@ -590,370 +970,8 @@ def _make_kernel(
                 + pl.program_id(0) * jnp.int32(-1640531535)
                 + depth0 * jnp.int32(9741)
             )
-
-        def tcol(ref, k):  # row k of [3,P] table as a [P,1] column
-            return ref[k, :][:, None]
-
-        sphc = [tcol(sph_center, k) for k in range(3)]
-        sph_r2 = sph_rad2[0, :][:, None]
-        if pretest:
-            bndc = [tcol(bnd_center, k) for k in range(3)]
-            bnd_r2 = bnd_rad2[0, :][:, None]
-        # tpu.iota only produces integers — build f32 indices via cast
-        sph_idx = jax.lax.broadcasted_iota(jnp.int32, (S, B), 0).astype(jnp.float32)
-
-        def isect(o, d, prev, alive):
-            """Closest hit for the current lanes. Returns (found, point,
-            nrm, color, emis, rtype, new_prev)."""
-            # --- spheres (+ bounding pre-test when it can gate hits) ---
-            t_sph = _sphere_t(sphc, sph_r2, o, d)  # [S,B]
-            if pretest:
-                t_bnd = _sphere_t(bndc, bnd_r2, o, d)  # [M,B]
-                pre_ok = (t_bnd < BIG).astype(jnp.float32)  # [M,B]
-                tri_ok = jax.lax.dot_general(  # [T,B] per-triangle gate
-                    gate[...], pre_ok, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            # --- triangles (affine feature form) ---
-            m = [
-                o[1] * d[2] - o[2] * d[1],
-                o[2] * d[0] - o[0] * d[2],
-                o[0] * d[1] - o[1] * d[0],
-            ]
-
-            def tri_block(lo, size, rays=None, lane=(0, None),
-                          const_mat=False, lite=False):
-                """Intersect triangles [lo, lo+size) (static slice) against
-                the ray lane window `lane=(start, width)` (whole block when
-                width is None); rays=(o, d, m, prev) defaults to the full
-                block vectors. Returns per-ray (d_t, i_t, normal3, color3,
-                emis3, rtype, order), each [1, width]. const_mat: the
-                slice's triangles share color/emis/rtype (static fact from
-                kernel_scene_buffers meta) — read them once from the first
-                row instead of 8 one-hot reductions. lite: return only
-                (d_t, winner ROW index [1,width]) — the caller defers all
-                feature reads to one fetch after merging tiles (see
-                fetch_tri_features)."""
-                ls, lw = lane
-                lw = B if lw is None else lw
-                ob, db, mb, prevb = rays if rays is not None else (o, d, m, prev)
-
-                def col(tab, k):
-                    return tab[k, lo : lo + size][:, None]
-
-                def dotT(tab, vec):  # [3,size] x 3x[1,lw] -> [size,lw]
-                    return (
-                        col(tab, 0) * vec[0]
-                        + col(tab, 1) * vec[1]
-                        + col(tab, 2) * vec[2]
-                    )
-
-                # row iota drives the first-wins tie-break/one-hot; the
-                # PACKED id column drives prev-exclusion and the winner id
-                # (prev is meaningful across kernels — see kernel_scene_buffers)
-                idx = (
-                    jax.lax.broadcasted_iota(jnp.int32, (size, lw), 0)
-                    .astype(jnp.float32)
-                    + float(lo)
-                )
-                pid = tri_pid[0, lo : lo + size][:, None]
-                det = -dotT(tri_n, db)
-                udet = dotT(tri_e2, mb) - dotT(tri_e2xa, db)
-                vdet = -dotT(tri_e1, mb) - dotT(tri_axe1, db)
-                tdet = dotT(tri_n, ob) - tri_na[0, lo : lo + size][:, None]
-
-                dvalid = jnp.abs(det) >= EPS_TRI_DET
-                inv = 1.0 / jnp.where(dvalid, det, 1.0)
-                u_ = udet * inv
-                v_ = vdet * inv
-                t_ = tdet * inv
-                # quads accept u,v ∈ [0,1]²; triangles u+v ≤ 1. Select on
-                # the f32 operand, not the booleans — i1-vector selects hit
-                # an unsupported trunci in Mosaic lowering.
-                isq = tri_quad[0, lo : lo + size][:, None] > 0.5
-                uv_hi = jnp.where(isq, v_, u_ + v_)
-                valid = (
-                    dvalid
-                    & (u_ >= 0.0) & (u_ <= 1.0)
-                    & (v_ >= 0.0) & (uv_hi <= 1.0)
-                    & (t_ > EPS_TRI_T)
-                    & (pid != prevb)
-                )
-                if pretest:
-                    valid &= tri_ok[lo : lo + size, ls : ls + lw] > 0.0
-                t_tri = jnp.where(valid, t_, BIG)
-                if lite:
-                    if ABLATE == "nomin":  # timing ablation: plain min
-                        d_t = jnp.min(t_tri, axis=0, keepdims=True)
-                        return d_t, d_t
-                    d_t, _, imin = _first_min_sublane(t_tri, idx)
-                    return d_t, imin
-                d_t, oh_t, _ = _first_min_sublane(t_tri, idx)
-
-                def read_t(tab, k):
-                    return jnp.sum(col(tab, k) * oh_t, axis=0, keepdims=True)
-
-                if const_mat:
-                    def bconst(tab, k):
-                        # (1,1) row read broadcast across the lane window
-                        return tab[k, lo:lo + 1][None, :] + jnp.zeros((1, lw))
-
-                    color_t = [bconst(tri_color, k) for k in range(3)]
-                    emis_t = [bconst(tri_emis, k) for k in range(3)]
-                    rtype_t = bconst(tri_rtype, 0)
-                else:
-                    color_t = [read_t(tri_color, k) for k in range(3)]
-                    emis_t = [read_t(tri_emis, k) for k in range(3)]
-                    rtype_t = read_t(tri_rtype, 0)
-
-                return (
-                    d_t,
-                    read_t(tri_pid, 0),
-                    [read_t(tri_normal, k) for k in range(3)],
-                    color_t,
-                    emis_t,
-                    rtype_t,
-                    read_t(tri_order, 0),
-                )
-
-            def merge_closer(cur, res):
-                """strictly-closer merge of two tri_block results."""
-                better = res[0] < cur[0]  # Morton-order first-wins on ties
-
-                def w(a, b):
-                    return jnp.where(better, a, b)
-
-                return (
-                    w(res[0], cur[0]), w(res[1], cur[1]),
-                    [w(res[2][k], cur[2][k]) for k in range(3)],
-                    [w(res[3][k], cur[3][k]) for k in range(3)],
-                    [w(res[4][k], cur[4][k]) for k in range(3)],
-                    w(res[5], cur[5]), w(res[6], cur[6]),
-                )
-
-            d_s, oh_s, _ = _first_min_sublane(t_sph, sph_idx)
-
-            def read_s(tab, k):  # [1,B]
-                return jnp.sum(tcol(tab, k) * oh_s, axis=0, keepdims=True)
-
-            def _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord):
-                order_s = read_s(sph_order, 0)
-                sph_wins = (d_s < d_t) | ((d_s == d_t) & (order_s < triord))
-                t = jnp.where(sph_wins, d_s, d_t)
-                found = (t < BIG) & alive
-
-                point = [o[k] + d[k] * t for k in range(3)]
-                sn = [point[k] - read_s(sph_center, k) for k in range(3)]
-                sl = jax.lax.rsqrt(
-                    jnp.maximum(sn[0] ** 2 + sn[1] ** 2 + sn[2] ** 2, 1e-30)
-                )
-                nrm = [
-                    jnp.where(sph_wins, sn[k] * sl, trin[k]) for k in range(3)
-                ]
-                color = [
-                    jnp.where(sph_wins, read_s(sph_color, k), tric[k])
-                    for k in range(3)
-                ]
-                emis = [
-                    jnp.where(sph_wins, read_s(sph_emis, k), trie[k])
-                    for k in range(3)
-                ]
-                rtype = jnp.where(sph_wins, read_s(sph_rtype, 0), trirt)
-                new_prev = jnp.where(found & ~sph_wins, i_t, -1.0)
-                return found, point, nrm, color, emis, rtype, new_prev
-
-            if not n_tiles:
-                d_t, i_t, trin, tric, trie, trirt, triord = tri_block(0, T)
-            else:
-                # block-coherent tile culling: slab-test each Morton tile's
-                # AABB against the whole ray block and skip its triangles
-                # when no live lane can hit it CLOSER than its current best
-                # hit (block divergence is a scalar branch — cheap on TPU).
-                # Entry/exit are ray-only, so they hoist out of the loop;
-                # the best-t comparison happens per tile as d_t shrinks.
-                # Oversized triangles (walls) live in an always-tested base
-                # set at the front of the tables — their hits immediately
-                # tighten the bound for every tile that follows.
-                lo_t = [tcol(tile_lo, k) for k in range(3)]
-                hi_t = [tcol(tile_hi, k) for k in range(3)]
-                inv = [
-                    1.0 / jnp.where(jnp.abs(d[k]) < 1e-30, 1e-30, d[k])
-                    for k in range(3)
-                ]
-                t_en = jnp.zeros((1, B))
-                t_ex = jnp.full((1, B), BIG)
-                for k in range(3):
-                    ta = (lo_t[k] - o[k]) * inv[k]  # [C,B]
-                    tb = (hi_t[k] - o[k]) * inv[k]
-                    t_en = jnp.maximum(t_en, jnp.minimum(ta, tb))
-                    t_ex = jnp.minimum(t_ex, jnp.maximum(ta, tb))
-                tl_poss = (t_ex >= t_en) & (t_ex >= 0.0) & alive  # [C,B]
-
-                CW = CULL_CHUNK if 0 < CULL_CHUNK < B else B
-                if CW == B:
-                    # DEFERRED-FETCH sweep (production): tiles carry only
-                    # (closest t, winner row); the 12 per-winner feature
-                    # rows are fetched ONCE after the merge as 3 exact
-                    # bf16-split one-hot matmuls per slice (MXU) — the
-                    # per-tile one-hot reductions were ~20% of the whole
-                    # resolve's VPU time. Bitwise-identical: the bf16
-                    # split f = hi+mid+lo is exact (8+8+8 = 24 mantissa
-                    # bits) and the one-hot leaves one product per lane.
-                    st = tri_block(0, tile_base, lite=True)
-                    for c in range(n_tiles):
-                        t_lo = tile_base + c * TRI_TILE
-                        if FORCE_TILES:
-                            res = tri_block(t_lo, TRI_TILE, lite=True)
-                        else:
-                            bound = jnp.minimum(st[0], d_s)
-                            cand = tl_poss[c][None, :] & (
-                                t_en[c][None, :] < bound
-                            )
-                            any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
-                            res = jax.lax.cond(
-                                any_hit,
-                                lambda lo2=t_lo: tri_block(
-                                    lo2, TRI_TILE, lite=True),
-                                lambda: (jnp.full((1, B), BIG),
-                                         jnp.full((1, B), BIG)),
-                            )
-                        better = res[0] < st[0]
-                        st = (jnp.where(better, res[0], st[0]),
-                              jnp.where(better, res[1], st[1]))
-                    d_t, win_row = st
-
-                    def dot3(feats, ohc):
-                        # exact f32 one-hot gather on the MXU: split the
-                        # feature rows into 3 bf16 parts (hi/mid/lo — an
-                        # exact decomposition) and accumulate in f32
-                        hi = feats.astype(jnp.bfloat16)
-                        r1 = feats - hi.astype(jnp.float32)
-                        mid = r1.astype(jnp.bfloat16)
-                        lo3 = (r1 - mid.astype(jnp.float32)).astype(
-                            jnp.bfloat16)
-                        ob = ohc.astype(jnp.bfloat16)
-                        dn = (((1,), (0,)), ((), ()))
-                        out = jax.lax.dot_general(
-                            hi, ob, dn, preferred_element_type=jnp.float32)
-                        out = out + jax.lax.dot_general(
-                            mid, ob, dn, preferred_element_type=jnp.float32)
-                        return out + jax.lax.dot_general(
-                            lo3, ob, dn, preferred_element_type=jnp.float32)
-
-                    feat12 = jnp.zeros((12, B), jnp.float32)
-                    # tile_base >= 8 always (kernel_scene_buffers pads the
-                    # base set to at least one sublane row)
-                    slices = [(0, tile_base)] + [
-                        (tile_base + c * TRI_TILE, TRI_TILE)
-                        for c in range(n_tiles)
-                    ]
-                    if ABLATE == "nofetch":  # timing ablation: skip fetch
-                        slices = []
-                    for lo2, size in slices:
-                        rows = (
-                            jax.lax.broadcasted_iota(
-                                jnp.int32, (size, B), 0
-                            ).astype(jnp.float32) + float(lo2)
-                        )
-                        ohc = (rows == win_row).astype(jnp.float32)
-                        feats = jnp.concatenate([
-                            tri_normal[:, lo2:lo2 + size],
-                            tri_color[:, lo2:lo2 + size],
-                            tri_emis[:, lo2:lo2 + size],
-                            tri_rtype[:, lo2:lo2 + size],
-                            tri_pid[:, lo2:lo2 + size],
-                            tri_order[:, lo2:lo2 + size],
-                        ], axis=0)
-                        feat12 = feat12 + dot3(feats, ohc)
-                    trin = [feat12[k][None, :] for k in range(3)]
-                    tric = [feat12[3 + k][None, :] for k in range(3)]
-                    trie = [feat12[6 + k][None, :] for k in range(3)]
-                    trirt = feat12[9][None, :]
-                    i_t = feat12[10][None, :]
-                    triord = feat12[11][None, :]
-                    return _merge_sph_tri(
-                        d_t, i_t, trin, tric, trie, trirt, triord)
-
-                base_res = tri_block(0, tile_base)
-                chunk_states = []
-                for j in range(B // CW):
-                    ls = j * CW
-
-                    # NB: pick a name that nothing below reuses — the last
-                    # iteration's closure outlives this loop in function scope
-                    def lslice(x, ls=ls):
-                        return x[:, ls : ls + CW]
-
-                    st = (
-                        lslice(base_res[0]), lslice(base_res[1]),
-                        [lslice(v) for v in base_res[2]],
-                        [lslice(v) for v in base_res[3]],
-                        [lslice(v) for v in base_res[4]],
-                        lslice(base_res[5]), lslice(base_res[6]),
-                    ) if CW < B else base_res
-                    rays_j = (
-                        [lslice(x) for x in o], [lslice(x) for x in d],
-                        [lslice(x) for x in m], lslice(prev),
-                    ) if CW < B else None
-                    d_s_j = lslice(d_s) if CW < B else d_s
-
-                    lw = CW if CW < B else B
-                    miss1 = jnp.full((1, lw), BIG)
-                    zero3 = [jnp.zeros((1, lw)) for _ in range(3)]
-                    skip_val = (
-                        miss1, jnp.full((1, lw), -1.0),
-                        zero3, list(zero3), list(zero3),
-                        jnp.zeros((1, lw)), jnp.full((1, lw), 1.0e9),
-                    )
-                    for c in range(n_tiles):
-                        cmat = bool(const_mat_tiles[c]) if const_mat_tiles \
-                            else False
-                        if FORCE_TILES:
-                            res = tri_block(
-                                tile_base + c * TRI_TILE, TRI_TILE,
-                                rays=rays_j,
-                                lane=(ls, CW if CW < B else None),
-                                const_mat=cmat,
-                            )
-                            st = merge_closer(st, res)
-                            continue
-                        bound = jnp.minimum(st[0], d_s_j)  # closest hit so far
-                        cand = tl_poss[c, ls : ls + CW][None, :] & (
-                            t_en[c, ls : ls + CW][None, :] < bound
-                        )
-                        any_hit = jnp.sum(cand.astype(jnp.float32)) > 0.0
-                        # merge OUTSIDE the cond (a cond returning the whole
-                        # merged state measured ~5% slower than one returning
-                        # just the tile result)
-                        res = jax.lax.cond(
-                            any_hit,
-                            lambda lo=tile_base + c * TRI_TILE, rj=rays_j,
-                                   ls=ls, cm=cmat: tri_block(
-                                lo, TRI_TILE, rays=rj,
-                                lane=(ls, CW if CW < B else None),
-                                const_mat=cm,
-                            ),
-                            lambda: skip_val,
-                        )
-                        st = merge_closer(st, res)
-                    chunk_states.append(st)
-
-                if CW < B:
-                    def cat(parts):
-                        return jnp.concatenate(parts, axis=1)
-
-                    d_t = cat([c_[0] for c_ in chunk_states])
-                    i_t = cat([c_[1] for c_ in chunk_states])
-                    trin = [cat([c_[2][k] for c_ in chunk_states]) for k in range(3)]
-                    tric = [cat([c_[3][k] for c_ in chunk_states]) for k in range(3)]
-                    trie = [cat([c_[4][k] for c_ in chunk_states]) for k in range(3)]
-                    trirt = cat([c_[5] for c_ in chunk_states])
-                    triord = cat([c_[6] for c_ in chunk_states])
-                else:
-                    (d_t, i_t, trin, tric, trie, trirt, triord) = chunk_states[0]
-
-            return _merge_sph_tri(d_t, i_t, trin, tric, trie, trirt, triord)
+        isect = make_isect(tables, B, pretest, n_tiles, tile_base,
+                           const_mat_tiles)
 
         if regen is not None:
             cam_consts, quota_cap = regen

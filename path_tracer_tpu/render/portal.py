@@ -408,6 +408,7 @@ def portal_resolve_phase(
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
     skip_kernel: bool = False,
+    uniforms=None,
 ):
     """The resolve half of a v2 cycle: one full-scene bounce over the
     active path and the first `resolve_bufs` parked buffers (default:
@@ -416,13 +417,39 @@ def portal_resolve_phase(
     untouched (BUF_STATE 1) — lanes whose buffers are all frozen simply
     stall until a wider resolve runs, so a scheduler may alternate narrow
     and full resolves when the deeper buffers run mostly empty.
-    Returns (pool', rays, unfinished)."""
+    Returns (pool', rays, unfinished).
+
+    Production takes the POOL-NATIVE path: one kernel reads the pool rows
+    directly, does the bounce AND the bookkeeping, and writes the pool
+    back aliased (trace_pallas_resolve_pool) — bit-identical to the XLA
+    composition below (same per-block PRNG streams), minus its ~15 ms of
+    concat/select/reassemble glue per bulk cycle (PERF.md).
+    PT_TPU_POOL_RESOLVE=0 forces the old path (trace-time switch: flipping
+    the env after a shape has compiled does not retrace); sort_lanes,
+    skip_kernel and injected `uniforms` (testing) also use the old path."""
     from path_tracer_tpu.ops.pallas.portal import (
         BUF_DEPTH, BUF_O, BUF_PREV, BUF_ROWS, BUF_STATE, BUF_THR, buf_row,
+        trace_pallas_resolve_pool,
     )
     from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
 
     nb = park_k if resolve_bufs is None else min(resolve_bufs, park_k)
+    if (
+        uniforms is None and not skip_kernel and not sort_lanes
+        and os.environ.get("PT_TPU_POOL_RESOLVE", "1") != "0"
+    ):
+        meta = TILE_META.get(portal_key, {})
+        pool, c2 = trace_pallas_resolve_pool(
+            pool, kscene, cycle_seed + jnp.int32(1), parts=nb + 1,
+            max_depth=max_depth, rr_start_depth=rr_start_depth,
+            block=RESOLVE_BLOCK,
+            const_mat_tiles=meta.get("tile_uniform_mat"),
+        )
+        quota_f = quota.astype(jnp.float32)
+        unfinished = jnp.sum(
+            (pool[V2_ROW_DONE] < quota_f).astype(jnp.float32)
+        )
+        return pool, c2, unfinished
     n = pool.shape[1]
     zeros3 = jnp.zeros((3, n), jnp.float32)
 
@@ -475,7 +502,7 @@ def portal_resolve_phase(
             o_in, d_in, thr_in, acc_in, alive_in, prev_in, depth_in,
             kscene, cycle_seed + jnp.int32(1),
             max_depth=max_depth, rr_start_depth=rr_start_depth,
-            block=RESOLVE_BLOCK,
+            block=RESOLVE_BLOCK, uniforms=uniforms,
             const_mat_tiles=meta.get("tile_uniform_mat"),
         )
     if sort_lanes:

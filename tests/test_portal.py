@@ -535,6 +535,66 @@ def synth_portal():
     return pkey, cam_key, kbufs, npix, rportal._round_block(npix)
 
 
+def test_resolve_pool_native_bit_identical(synth_portal, monkeypatch):
+    """The pool-native resolve (trace_pallas_resolve_pool: in-kernel
+    bookkeeping, aliased pool output) is BIT-IDENTICAL to the XLA
+    composition it replaces (portal_resolve_phase's glue path) on a pool
+    mid-drive — frozen active paths, parked buffers, empty buffers — under
+    the PRNG (same per-block stream ids) and under injected uniforms."""
+    from path_tracer_tpu.render import portal as rportal
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    park_k, spp, depth = 1, 2, 3
+    quota = jnp.int32(spp)
+    pool0 = rportal.make_pool_v2(npix, n_pad, spp, park_k=park_k)
+    with pltpu.force_tpu_interpret_mode():
+        pool0, _ = portal_mod.trace_cheap_regen(
+            pool0, pkey, cam_key, jnp.int32(7), quota, jnp.int32(0),
+            jnp.int32(4), max_depth=depth, rr_start_depth=5,
+            block=rportal.CHEAP_BLOCK, park_k=park_k,
+        )
+        # the pool must hold real work in BOTH parts or the test is vacuous
+        assert float(jnp.sum(pool0[portal_mod.ROW_ALIVE])) > 0
+        bs = pool0[portal_mod.buf_row(0, portal_mod.BUF_STATE)]
+        assert float(jnp.sum((bs > 0.5) & (bs < 1.5))) > 0
+
+        def phase(forced, uniforms=None):
+            monkeypatch.setenv("PT_TPU_POOL_RESOLVE", forced)
+            return rportal.portal_resolve_phase(
+                jnp.array(pool0), quota, jnp.int32(11), kbufs,
+                portal_key=pkey, max_depth=depth, rr_start_depth=5,
+                park_k=park_k, uniforms=uniforms,
+            )
+
+        old_pool, old_rays, old_unfin = phase("0")
+        new_pool, new_rays, new_unfin = phase("1")
+        np.testing.assert_array_equal(
+            np.asarray(old_pool), np.asarray(new_pool)
+        )
+        assert float(old_rays) == float(new_rays) > 0
+        assert float(old_unfin) == float(new_unfin)
+
+        # injected uniforms: the old path takes them via the phase, the
+        # pool-native kernel via its own hook (part-major layout)
+        u = jnp.asarray(
+            np.random.default_rng(5).uniform(
+                size=(4, (park_k + 1) * n_pad)
+            ).astype(np.float32)
+        )
+        old_pool_u, _, _ = phase("0", uniforms=u)
+        from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
+
+        new_pool_u, _ = portal_mod.trace_pallas_resolve_pool(
+            jnp.array(pool0), kbufs, jnp.int32(11) + jnp.int32(1),
+            parts=park_k + 1, max_depth=depth, rr_start_depth=5,
+            block=rportal.RESOLVE_BLOCK, uniforms=u,
+            const_mat_tiles=TILE_META[pkey].get("tile_uniform_mat"),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(old_pool_u), np.asarray(new_pool_u)
+        )
+
+
 def test_drive_pool_v2_narrow_resolve(synth_portal):
     """narrow_bufs: cycles that resolve only the active path (+ prefix of
     parked buffers) still retire every sample exactly once and leave no
