@@ -924,7 +924,7 @@ def make_isect(tables, B, pretest, n_tiles, tile_base, const_mat_tiles=None):
 
 
 def _make_kernel(
-    S, M, T, B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
+    B, n_steps, max_depth, rr_start_depth, fixed_uniforms, pretest,
     n_tiles=0, tile_base=0, regen=None, per_lane_depth=False,
     const_mat_tiles=None,
 ):
@@ -1309,8 +1309,6 @@ def trace_pallas_regen_prim(
     # (the loop bound is quota_cap * max_depth) — reject concrete overruns
     if isinstance(quota, (int, np.integer)) and quota > quota_cap:
         raise ValueError(f"quota={quota} exceeds static quota_cap={quota_cap}")
-    S = kscene["sph_rad2"].shape[1]
-    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     pretest = "gate" in kscene
     n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
@@ -1318,7 +1316,7 @@ def trace_pallas_regen_prim(
     scene_keys = _scene_keys(kscene)
 
     kernel = _make_kernel(
-        S, M, T, block, quota_cap * max_depth, max_depth, rr_start_depth,
+        block, quota_cap * max_depth, max_depth, rr_start_depth,
         False, pretest, n_tiles=n_tiles, tile_base=tile_base,
         regen=(cam_consts, quota_cap),
     )
@@ -1384,8 +1382,6 @@ def trace_pallas_resolve(
     n = o.shape[1]
     if n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
-    S = kscene["sph_rad2"].shape[1]
-    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     pretest = "gate" in kscene
     n_tiles = kscene["tile_lo"].shape[1] if "tile_lo" in kscene else 0
@@ -1393,7 +1389,7 @@ def trace_pallas_resolve(
     scene_keys = _scene_keys(kscene)
     fixed = uniforms is not None
     kernel = _make_kernel(
-        S, M, T, block, 1, max_depth, rr_start_depth, fixed, pretest,
+        block, 1, max_depth, rr_start_depth, fixed, pretest,
         n_tiles=n_tiles, tile_base=tile_base, per_lane_depth=True,
         const_mat_tiles=const_mat_tiles,
     )
@@ -1483,8 +1479,6 @@ def trace_pallas(
     n = o.shape[0]
     if n % block:
         raise ValueError(f"N={n} must be a multiple of block={block}")
-    S = kscene["sph_rad2"].shape[1]
-    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     steps = min(steps_per_call, max_depth)
     n_calls = -(-max_depth // steps)
@@ -1501,7 +1495,7 @@ def trace_pallas(
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
     scene_keys = _scene_keys(kscene)
     kernel = _make_kernel(
-        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest,
+        block, steps, max_depth, rr_start_depth, fixed, pretest,
         n_tiles=n_tiles, tile_base=tile_base,
     )
     grid = (n // block,)
@@ -1633,8 +1627,6 @@ def trace_pallas_sorted(
     n = o.shape[0]
     if n % block:
         raise ValueError(f"N={n} must be a multiple of block={block}")
-    S = kscene["sph_rad2"].shape[1]
-    M = kscene["bnd_rad2"].shape[1] if "bnd_rad2" in kscene else 0
     T = kscene["tri_na"].shape[1]
     steps = min(sort_every, max_depth)
     n_calls = -(-max_depth // steps)
@@ -1649,7 +1641,7 @@ def trace_pallas_sorted(
     tile_base = T - n_tiles * TRI_TILE if n_tiles else 0
     scene_keys = _scene_keys(kscene)
     kernel = _make_kernel(
-        S, M, T, block, steps, max_depth, rr_start_depth, fixed, pretest,
+        block, steps, max_depth, rr_start_depth, fixed, pretest,
         n_tiles=n_tiles, tile_base=tile_base,
     )
 
