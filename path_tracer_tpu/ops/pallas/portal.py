@@ -78,7 +78,16 @@ ROWS = 16
 # retirement (62 + 117 ms per 1M-lane cycle, scripts/profile_portal.py).
 V2_ROW_DONE = 15
 V2_ROW_PIX = 16  # still carried: per-block raygen needs lane-shaped indices
-V2_ROWS = 17
+# per-SLOT sample quota (f32 row, not the SMEM scalar): lets the scheduler
+# redistribute work mid-pass — a finished slot adopts the upper half of a
+# laggard's remaining [started, quota) sample range by taking (pix, started=
+# split, done=split, quota) while the laggard's quota shrinks to split.
+# Without this every slot is pinned to its own pixel's k_pass and the bulk
+# phase decays to the mesh-facing slots' occupancy (PERF.md: 183 vs the 272
+# Mray/s full-occupancy bulk asymptote). The SMEM quota scalar remains the
+# per-call LOOP BOUND (the pass-wide cap k_pass >= every slot's quota).
+V2_ROW_QUOTA = 17
+V2_ROWS = 18
 
 # Parked-path extension (park_k > 0): a lane whose segment freezes at the
 # portal PARKS the path in one of K per-lane buffers and immediately
@@ -90,8 +99,8 @@ V2_ROWS = 17
 # (done counts completions; they differ while paths are parked — raygen
 # indexes by `started` so in-flight samples get distinct indices).
 PARK_K = int(_os.environ.get("PT_TPU_PARK_K", "3"))
-V3_ROW_STARTED = 17
-V3_BUF_BASE = 18
+V3_ROW_STARTED = 18
+V3_BUF_BASE = 19
 BUF_O = 0
 BUF_D = 3
 BUF_THR = 6
@@ -311,7 +320,11 @@ def _make_kernel_cheap_regen(
         pltpu.prng_seed(
             seed_ref[0, 0] + pl.program_id(0) * jnp.int32(-1640531535)
         )
+        # SMEM quota = the pass-wide cap (loop bound only); the per-SLOT
+        # quota rides the V2_ROW_QUOTA pool row so the scheduler can
+        # redistribute sample ranges between slots mid-pass
         quota = seed_ref[0, 1].astype(jnp.float32)
+        qrow = state_ref[V2_ROW_QUOTA]
         sample_base = seed_ref[0, 2].astype(jnp.float32)
         # per-call step budget: without it a block sweeps until its LONGEST
         # runner finishes (max over 2048 lanes of run-to-freeze ≈ 120 steps
@@ -361,7 +374,7 @@ def _make_kernel_cheap_regen(
 
             # regenerate: dead lanes with samples left start the next one
             issued = st["started"] if park_k else st["done"]
-            need = (st["alive"] <= 0.0) & (issued < quota)
+            need = (st["alive"] <= 0.0) & (issued < qrow)
             d_new = raygen(sample_base + issued, u[4], u[5])
             for k, lc in enumerate((lcx, lcy, lcz)):
                 st["o"][k] = jnp.where(need, lc, st["o"][k])
@@ -479,9 +492,9 @@ def _make_kernel_cheap_regen(
 
         def not_done(carry):
             i, st = carry
-            can_start = st["done"] < quota
+            can_start = st["done"] < qrow
             if park_k:
-                can_start = st["started"] < quota
+                can_start = st["started"] < qrow
                 for pj in st["p"]:
                     can_start = can_start | (pj["ps"] > 1.5)
             runnable = jnp.where(
@@ -517,6 +530,7 @@ def _make_kernel_cheap_regen(
         out_ref[ROW_DEPTH] = st["depth"]
         out_ref[V2_ROW_DONE] = st["done"]
         out_ref[V2_ROW_PIX] = pix
+        out_ref[V2_ROW_QUOTA] = qrow
         if park_k:
             out_ref[V3_ROW_STARTED] = st["started"]
             for j, pj in enumerate(st["p"]):

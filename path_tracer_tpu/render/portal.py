@@ -30,14 +30,21 @@ import numpy as np
 
 from path_tracer_tpu.ops import rng
 from path_tracer_tpu.ops.pallas.portal import (
-    PARK_K, ROW_ACC, ROW_ALIVE, ROW_D, ROW_DEPTH, ROW_O, ROW_PIX, ROW_PREV,
-    ROW_THR, ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROWS, V3_ROW_STARTED,
-    pool_rows, trace_cheap_blocked, trace_cheap_regen,
+    BUF_STATE, PARK_K, ROW_ACC, ROW_ALIVE, ROW_D, ROW_DEPTH, ROW_O, ROW_PIX,
+    ROW_PREV, ROW_THR, ROWS, V2_ROW_DONE, V2_ROW_PIX, V2_ROW_QUOTA, V2_ROWS,
+    V3_ROW_STARTED, buf_row, pool_rows, trace_cheap_blocked,
+    trace_cheap_regen,
 )
 from path_tracer_tpu.ops.pallas.trace_kernel import BIG, trace_pallas_resolve
 
 CHEAP_BLOCK = 2048
 RESOLVE_BLOCK = 1024
+
+# Read ONCE at import (like trace_kernel.CULL_CHUNK): the flag is consumed
+# inside jitted drivers, so a post-compile env flip would silently keep the
+# cached path anyway — a module constant makes the semantics unambiguous.
+# Tests/ablations that need the fallback monkeypatch this attribute.
+POOL_RESOLVE = os.environ.get("PT_TPU_POOL_RESOLVE", "1") != "0"
 
 # default pool capacity (lanes). 1M lanes = 64 MB of pool state; big enough
 # to keep the resolver batches dense, small enough to cycle quickly.
@@ -228,7 +235,7 @@ def make_portal_pass_runner(
     jax.jit,
     static_argnames=(
         "portal_key", "cam_key", "max_depth", "rr_start_depth", "park_k",
-        "resolve_bufs", "sort_lanes", "skip_kernel",
+        "resolve_bufs", "sort_lanes", "skip_kernel", "pool_resolve",
     ),
     donate_argnums=(0,),
 )
@@ -248,6 +255,7 @@ def portal_cycle_v2(
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
     skip_kernel: bool = False,
+    pool_resolve: bool | None = None,
 ):
     """One v2 cycle: cheap-advance-with-regen until every lane is frozen
     (park_k > 0: parked K-deep), quota-done, or step-capped, then ONE
@@ -269,7 +277,7 @@ def portal_cycle_v2(
         portal_key=portal_key, max_depth=max_depth,
         rr_start_depth=rr_start_depth, park_k=park_k,
         resolve_bufs=resolve_bufs, sort_lanes=sort_lanes,
-        skip_kernel=skip_kernel,
+        skip_kernel=skip_kernel, pool_resolve=pool_resolve,
     )
     return pool, c1 + c2, unfinished
 
@@ -408,6 +416,7 @@ def portal_resolve_phase(
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
     skip_kernel: bool = False,
+    pool_resolve: bool | None = None,
     uniforms=None,
 ):
     """The resolve half of a v2 cycle: one full-scene bounce over the
@@ -424,9 +433,11 @@ def portal_resolve_phase(
     back aliased (trace_pallas_resolve_pool) — bit-identical to the XLA
     composition below (same per-block PRNG streams), minus its ~15 ms of
     concat/select/reassemble glue per bulk cycle (PERF.md).
-    PT_TPU_POOL_RESOLVE=0 forces the old path (trace-time switch: flipping
-    the env after a shape has compiled does not retrace); sort_lanes,
-    skip_kernel and injected `uniforms` (testing) also use the old path."""
+    pool_resolve=False (default: the import-time POOL_RESOLVE constant,
+    i.e. PT_TPU_POOL_RESOLVE=0 in the environment) forces the old path;
+    it is a static jit arg upstream, so an A/B in a live process retraces
+    correctly. sort_lanes, skip_kernel and injected `uniforms` (testing)
+    also use the old path."""
     from path_tracer_tpu.ops.pallas.portal import (
         BUF_DEPTH, BUF_O, BUF_PREV, BUF_ROWS, BUF_STATE, BUF_THR, buf_row,
         trace_pallas_resolve_pool,
@@ -434,10 +445,9 @@ def portal_resolve_phase(
     from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
 
     nb = park_k if resolve_bufs is None else min(resolve_bufs, park_k)
-    if (
-        uniforms is None and not skip_kernel and not sort_lanes
-        and os.environ.get("PT_TPU_POOL_RESOLVE", "1") != "0"
-    ):
+    if pool_resolve is None:
+        pool_resolve = POOL_RESOLVE
+    if uniforms is None and not skip_kernel and not sort_lanes and pool_resolve:
         meta = TILE_META.get(portal_key, {})
         pool, c2 = trace_pallas_resolve_pool(
             pool, kscene, cycle_seed + jnp.int32(1), parts=nb + 1,
@@ -445,9 +455,8 @@ def portal_resolve_phase(
             block=RESOLVE_BLOCK,
             const_mat_tiles=meta.get("tile_uniform_mat"),
         )
-        quota_f = quota.astype(jnp.float32)
         unfinished = jnp.sum(
-            (pool[V2_ROW_DONE] < quota_f).astype(jnp.float32)
+            (pool[V2_ROW_DONE] < pool[V2_ROW_QUOTA]).astype(jnp.float32)
         )
         return pool, c2, unfinished
     n = pool.shape[1]
@@ -520,7 +529,8 @@ def portal_resolve_phase(
     done = pool[V2_ROW_DONE] + ended.astype(jnp.float32)
     rows = [part(o, 0), part(d, 0), part(thr, 0), part(acc, 0),
             part(alive, 0), part(prev, 0), part(depth, 0), done[None],
-            pool[V2_ROW_PIX:V2_ROW_PIX + 1]]
+            pool[V2_ROW_PIX:V2_ROW_PIX + 1],
+            pool[V2_ROW_QUOTA:V2_ROW_QUOTA + 1]]
     if park_k:
         rows.append(pool[V3_ROW_STARTED:V3_ROW_STARTED + 1])
         acc_extra = jnp.zeros((3, n), jnp.float32)
@@ -550,8 +560,7 @@ def portal_resolve_phase(
         rows[3] = rows[3] + acc_extra  # slot acc
         rows[7] = done[None]
     pool = jnp.concatenate(rows, axis=0)
-    quota_f = quota.astype(jnp.float32)
-    unfinished = jnp.sum((done < quota_f).astype(jnp.float32))
+    unfinished = jnp.sum((done < pool[V2_ROW_QUOTA]).astype(jnp.float32))
     return pool, jnp.sum(c2), unfinished
 
 
@@ -559,7 +568,7 @@ def portal_resolve_phase(
     jax.jit,
     static_argnames=(
         "n_cycles", "portal_key", "cam_key", "max_depth", "rr_start_depth",
-        "park_k", "resolve_bufs", "sort_lanes",
+        "park_k", "resolve_bufs", "sort_lanes", "pool_resolve",
     ),
     donate_argnums=(0,),
 )
@@ -580,6 +589,7 @@ def portal_cycles_v2(
     park_k: int = 0,
     resolve_bufs: int | None = None,
     sort_lanes: int = 0,
+    pool_resolve: bool | None = None,
 ):
     """`n_cycles` v2 cycles in ONE dispatch (fori_loop over cheap+resolve).
     Small-pool cycles run in ~2 ms but each separate dispatch costs ~1.75 ms
@@ -600,6 +610,7 @@ def portal_cycles_v2(
             portal_key=portal_key, max_depth=max_depth,
             rr_start_depth=rr_start_depth, park_k=park_k,
             resolve_bufs=resolve_bufs, sort_lanes=sort_lanes,
+            pool_resolve=pool_resolve,
         )
         return pool, rays + c1 + c2, unfin
 
@@ -619,27 +630,145 @@ def portal_cycles_v2(
 TAIL_LADDER = (262144, 131072, 65536, 16384, 8192, 2048)
 
 
+@functools.partial(jax.jit, static_argnames=("park_k",),
+                   donate_argnums=(0, 1))
+def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int):
+    """Mid-pass work redistribution: finished slots adopt the upper half of
+    the laggards' remaining sample ranges.
+
+    The bulk phase decays to the mesh-facing slots' occupancy: wall-facing
+    slots retire their whole quota early and their lanes ride dead while
+    mesh-facing slots grind on (PERF.md 2026-08-19: the residual gap from
+    183 to the 272 Mray/s full-occupancy bulk asymptote is exactly this
+    within-pass raggedness). A DONOR (done >= quota, path dead, all park
+    buffers empty) takes over a LAGGARD's un-issued upper range: donor gets
+    (pix=laggard.pix, started=done=split, quota=laggard.quota) and the
+    laggard's quota shrinks to split = quota - rem//2 — sample ids stay
+    exactly partitioned, so per-pixel counts and the 2x2 subpixel
+    stratification are preserved bit-for-bit in aggregate.
+
+    The donor's own retired radiance is banked into `flush` ([n_flush, 4]:
+    rgb + sample-count credit, scatter-add keyed by its OLD pixel) before
+    its pix row changes; the drive surfaces `flush` as one synthetic stage
+    at pass end. The count column keeps MID-pass per-pixel retired counts
+    exact for progress snapshots: a donor's `done` row is a credit to its
+    current pix that includes a phantom prefix of `split` adopted samples,
+    so adoption banks +done at the old pixel and -split at the new one —
+    summing raw `done` over stages + flush[:, 3] then equals the true
+    per-pixel retired count at any instant. Matching is rank-k greedy
+    (k-th donor <- k-th laggard, both in slot order) via two cumsums — no
+    sort, no multi-row gather. Returns (pool', flush', n_pairs)."""
+    quota = pool[V2_ROW_QUOTA]
+    done = pool[V2_ROW_DONE]
+    started = pool[V3_ROW_STARTED] if park_k else done
+    idx = jnp.arange(pool.shape[1], dtype=jnp.int32)
+
+    rem = quota - started
+    finished = (done >= quota) & (pool[ROW_ALIVE] <= 0.0)
+    for j in range(park_k):
+        finished &= pool[buf_row(j, BUF_STATE)] <= 0.5
+    # both split halves must be worth a donor's warm-up (min_rem samples)
+    lag = rem >= jnp.float32(2 * min_rem)
+
+    don_rank = jnp.cumsum(finished.astype(jnp.int32)) - 1
+    lag_rank = jnp.cumsum(lag.astype(jnp.int32)) - 1
+    n_don = don_rank[-1] + 1
+    n_lag = lag_rank[-1] + 1
+    n_pairs = jnp.minimum(n_don, n_lag)
+
+    # laggards_at[r] = slot index of the r-th laggard (scatter; the +1
+    # buffer absorbs non-laggard writes)
+    C = pool.shape[1]
+    laggards_at = jnp.zeros(C + 1, jnp.int32).at[
+        jnp.where(lag, lag_rank, C)
+    ].set(idx, mode="drop")[:C]
+
+    split = quota - jnp.floor(rem * 0.5)  # laggard keeps the lower half
+    new_quota = jnp.where(lag & (lag_rank < n_pairs), split, quota)
+
+    take = finished & (don_rank < n_pairs)
+    src = laggards_at[jnp.clip(don_rank, 0, C - 1)]
+    pix = pool[V2_ROW_PIX]
+
+    sp = split[src]
+    # bank the donor's retired radiance + count credit under its OLD pixel
+    # (non-take lanes scatter zeros at an arbitrary row), and cancel the
+    # phantom `split` prefix the donor is about to credit to the NEW pixel
+    fpix = jnp.where(take, pix, jnp.float32(flush.shape[0] - 1))
+    takef = take.astype(jnp.float32)
+    contrib = jnp.concatenate([
+        jnp.where(take[None], pool[ROW_ACC:ROW_ACC + 3], 0.0),
+        (takef * done)[None],
+    ])
+    flush = flush.at[fpix.astype(jnp.int32)].add(contrib.T)
+    npix_new = jnp.where(take, pix[src], jnp.float32(flush.shape[0] - 1))
+    flush = flush.at[npix_new.astype(jnp.int32), 3].add(-takef * sp)
+
+    pool = pool.at[V2_ROW_QUOTA].set(
+        jnp.where(take, quota[src], new_quota))
+    pool = pool.at[V2_ROW_PIX].set(jnp.where(take, pix[src], pix))
+    pool = pool.at[V2_ROW_DONE].set(jnp.where(take, sp, done))
+    if park_k:
+        pool = pool.at[V3_ROW_STARTED].set(jnp.where(take, sp, started))
+    for k in range(3):
+        pool = pool.at[ROW_ACC + k].multiply(1.0 - take.astype(jnp.float32))
+    return pool, flush, n_pairs
+
+
+@jax.jit
+def _flush_stage(flush):
+    """Wrap the redistribution flush buffer ([n, 4] rgb+count keyed by row
+    = pixel) as one synthetic stage so the pass runner's ordinary
+    pix/acc scatter retires it (the count column is snapshot-only)."""
+    n = flush.shape[0]
+    st = jnp.zeros((V2_ROWS, n), jnp.float32)
+    st = st.at[ROW_ACC:ROW_ACC + 3].set(flush[:, :3].T)
+    st = st.at[V2_ROW_PIX].set(jnp.arange(n, dtype=jnp.float32))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _snapshot_stages(stages, flush, *, out_rows: int):
+    """Mid-pass partial image: scatter every stage's retired radiance and
+    sample counts by pixel id into [out_rows, 3] / [out_rows] buffers.
+
+    `stages` is the drive's retired-pool tuple PLUS the live pool as the
+    last element. Count ownership: a retired stage's slots with
+    done < quota were compaction-moved (their state lives on in a later
+    stage) so only done >= quota rows count there; the LIVE pool owns all
+    its done counts. `flush` (may be None) adds the redistribution rgb +
+    count credits. The live pool's acc rows include the in-flight sample's
+    partial accumulation — a snapshot-only, preview-grade overshoot (the
+    pass-end framebuffer merge is exact as ever)."""
+    rad = jnp.zeros((out_rows, 3), jnp.float32)
+    cnt = jnp.zeros((out_rows,), jnp.float32)
+    for i, st in enumerate(stages):
+        pix = st[V2_ROW_PIX].astype(jnp.int32)
+        rad = rad.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
+        done = st[V2_ROW_DONE]
+        if i + 1 < len(stages):
+            done = jnp.where(done >= st[V2_ROW_QUOTA], done, 0.0)
+        cnt = cnt.at[pix].add(done)
+    if flush is not None:
+        rad = rad + flush[:, :3]
+        cnt = cnt + flush[:, 3]
+    return rad, cnt
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _compact_tail(pool, idx, valid, quota_f):
+def _compact_tail(pool, idx, valid):
     """Gather slots idx of `pool` into a smaller pool and zero their acc in
     the source, so radiance lives in exactly one pool at all times (every
     stage's acc rows scatter-add by pix at pass end). idx is padded to a
     fixed ladder width with arbitrary duplicates; `valid` masks real
     entries — padding lanes are fully zeroed (dead, no radiance, empty
-    park buffers) then marked retired (done=quota), and the `.max` scatter
-    ignores their duplicate column ids."""
+    park buffers, done == quota == 0 so they are born retired and never
+    issue), and the `.max` scatter ignores their duplicate column ids."""
     small = jnp.take(pool, idx, axis=1)
     v = valid.astype(jnp.float32)
     moved = jnp.zeros((pool.shape[1],), jnp.float32).at[idx].max(v)
     pool = pool.at[ROW_ACC:ROW_ACC + 3].multiply(1.0 - moved[None])
     small = small * v[None]
-    small = small.at[V2_ROW_DONE].set(
-        jnp.where(valid, small[V2_ROW_DONE], quota_f)
-    )
-    if small.shape[0] > V3_ROW_STARTED:  # parked layout: padding lanes
-        small = small.at[V3_ROW_STARTED].set(  # must not issue samples
-            jnp.where(valid, small[V3_ROW_STARTED], quota_f)
-        )
     return pool, small
 
 
@@ -726,13 +855,31 @@ def make_pool_v2(npix: int, n_pad: int, k_pass: int,
             jnp.full((n_pad - npix,), float(int(pix_order[-1]))),
         ])
     pool = pool.at[V2_ROW_PIX].set(pix)
-    retired = jnp.where(
-        jnp.arange(n_pad) < npix, 0.0, float(k_pass)
-    ).astype(jnp.float32)
-    pool = pool.at[V2_ROW_DONE].set(retired)
-    if park_k:
-        pool = pool.at[V3_ROW_STARTED].set(retired)
+    # padding slots (i >= npix) are born retired as done == quota == 0 —
+    # not done == k_pass — so they never issue (issued < quota is false)
+    # AND contribute zero to per-pixel retired COUNTS (the mid-pass
+    # snapshot normalizer scatters raw done by pix; a done=k_pass padding
+    # slot would pile k_pass phantom samples onto the last pixel). Same
+    # convention as _compact_tail's padding lanes.
+    real = jnp.arange(n_pad) < npix
+    pool = pool.at[V2_ROW_QUOTA].set(
+        jnp.where(real, float(k_pass), 0.0).astype(jnp.float32)
+    )
     return pool
+
+
+def _pm_park_k() -> int:
+    """The production parked-buffer depth, read at call time so tests can
+    lower ops.pallas.portal.PARK_K for the interpreter."""
+    from path_tracer_tpu.ops.pallas import portal as _pm
+
+    return _pm.PARK_K
+
+
+def _default_step_cap() -> int:
+    """Cheap-kernel per-call step budget (PT_TPU_STEP_CAP, default 64 —
+    swept on hardware, see PERF.md)."""
+    return int(os.environ.get("PT_TPU_STEP_CAP", "64"))
 
 
 def _stall_limits(k_pass, max_depth, check_every, full_every, *, narrow):
@@ -782,7 +929,12 @@ def drive_pool_v2(
     `on_check(cycle, width, unfin)` is called after each termination poll
     (progress/cancel/profiling hook); a truthy return aborts the drive
     immediately — the caller sees the partial pool as the last stage and
-    decides what to do with its ragged per-slot radiance.
+    decides what to do with its ragged per-slot radiance. A hook that
+    declares a `snapshot` keyword (or **kwargs) receives a zero-arg
+    callable computing the mid-pass partial image on device —
+    (radiance [c0, 3], counts [c0]) keyed by pixel id, see
+    _snapshot_stages — so progress renders can stream preview frames
+    without 64-spp passes.
 
     narrow_bufs (requires park_k > 0): most cycles resolve only the active
     path + the first `narrow_bufs` parked buffers; every `full_every`-th
@@ -794,6 +946,10 @@ def drive_pool_v2(
     _resolve_sort_order). None reads PT_TPU_RESOLVE_SORT (default 0)."""
     if sort_lanes is None:
         sort_lanes = int(os.environ.get("PT_TPU_RESOLVE_SORT", "0"))
+    # bind the module constant per drive: a static jit arg, so an A/B that
+    # flips portal.POOL_RESOLVE between drives retraces instead of silently
+    # reusing the cached path (ADVICE r2)
+    pool_resolve = POOL_RESOLVE
     if narrow_bufs is None:
         env_nb = os.environ.get("PT_TPU_NARROW_BUFS")
         if env_nb is not None:
@@ -804,7 +960,7 @@ def drive_pool_v2(
     if step_cap is None:
         # swept on hardware with PARK_K=3: 32 -> 97.1, 64 -> 99.3 Mray/s,
         # 128 -> worse (fewer resolve rounds than parked work demands)
-        step_cap = int(os.environ.get("PT_TPU_STEP_CAP", "64"))
+        step_cap = _default_step_cap()
     if park_k is None:  # infer the layout from the pool's row count
         from path_tracer_tpu.ops.pallas.portal import BUF_ROWS, V3_BUF_BASE
 
@@ -815,6 +971,26 @@ def drive_pool_v2(
     stages = []
     rays = jnp.float32(0.0)
     cycle = 0
+    # mid-pass work redistribution (PT_TPU_REDIST=0 disables): finished
+    # slots adopt the upper halves of laggards' remaining sample ranges at
+    # poll cadence, holding bulk occupancy up (see redistribute_samples)
+    redist = os.environ.get("PT_TPU_REDIST", "1") != "0"
+    redist_min = int(os.environ.get("PT_TPU_REDIST_MIN", "16"))
+    # a laggard needs >= 2*min_rem un-issued samples, so a small pass can
+    # never redistribute — skip the branch (and its flush stage) entirely
+    redist = redist and k_pass >= 2 * redist_min
+    flush = None
+    c0 = pool.shape[1]  # flush is keyed by pixel id < npix <= c0
+    # does the hook want mid-pass partial images? (a 'snapshot' kwarg or
+    # **kwargs in its signature opts in; legacy 3-arg hooks are untouched)
+    hook_wants_snapshot = False
+    if on_check is not None:
+        import inspect
+
+        params = inspect.signature(on_check).parameters
+        hook_wants_snapshot = "snapshot" in params or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
     # stall = unfinished count not decreasing across polls (every cycle
     # advances every unfinished slot by >= 1 segment, so a healthy pool
     # strictly drains); an absolute ceiling backstops the backstop.
@@ -887,6 +1063,7 @@ def drive_pool_v2(
                     portal_key=portal_key, cam_key=cam_key,
                     max_depth=max_depth, rr_start_depth=rr_start_depth,
                     park_k=park_k, resolve_bufs=rb, sort_lanes=sort_lanes,
+                    pool_resolve=pool_resolve,
                 )
             else:
                 pool, r, unfin = portal_cycles_v2(
@@ -895,16 +1072,26 @@ def drive_pool_v2(
                     portal_key=portal_key, cam_key=cam_key,
                     max_depth=max_depth, rr_start_depth=rr_start_depth,
                     park_k=park_k, resolve_bufs=rb, sort_lanes=sort_lanes,
+                    pool_resolve=pool_resolve,
                 )
             rays = rays + r
             cycle += n
             done_steps += n
         u = int(np.asarray(unfin))
-        if on_check is not None and on_check(cycle, pool.shape[1], u):
-            stages.append(pool)  # aborted: partial pool, ragged counts
-            return stages, rays
+        if on_check is not None:
+            kw = {}
+            if hook_wants_snapshot:
+                sts, fl = tuple(stages) + (pool,), flush
+                kw["snapshot"] = lambda: _snapshot_stages(
+                    sts, fl, out_rows=c0
+                )
+            if on_check(cycle, pool.shape[1], u, **kw):
+                stages.append(pool)  # aborted: partial pool, ragged counts
+                return stages, rays
         if u == 0:
             stages.append(pool)
+            if flush is not None:
+                stages.append(_flush_stage(flush))
             return stages, rays
         stalled_polls = stalled_polls + 1 if u == last_u else 0
         last_u = u
@@ -919,15 +1106,26 @@ def drive_pool_v2(
             if u <= w < pool.shape[1]:
                 target = w  # smallest ladder width that fits the tail
         if target is not None:
-            done = np.asarray(pool[V2_ROW_DONE])
-            idx_np = np.flatnonzero(done < k_pass).astype(np.int32)
+            dq = np.asarray(pool[np.array([V2_ROW_DONE, V2_ROW_QUOTA])])
+            idx_np = np.flatnonzero(dq[0] < dq[1]).astype(np.int32)
             idx = jnp.asarray(
                 np.pad(idx_np, (0, target - len(idx_np)))
             )
             valid = jnp.asarray(np.arange(target) < len(idx_np))
-            pool, small = _compact_tail(pool, idx, valid, jnp.float32(k_pass))
+            pool, small = _compact_tail(pool, idx, valid)
             stages.append(pool)
             pool = small
+        elif redist and pool.shape[1] - u >= max(
+            2048, pool.shape[1] // 16
+        ):
+            # enough idle lanes to matter and no compaction rung fits yet:
+            # re-task them (a no-op when no laggard has >= 2*min_rem
+            # samples left — the dispatch is cheap at poll cadence)
+            if flush is None:
+                flush = jnp.zeros((c0, 4), jnp.float32)
+            pool, flush, _ = redistribute_samples(
+                pool, flush, redist_min, park_k=park_k
+            )
 
 
 def make_portal_pass_runner_v2(
@@ -966,11 +1164,25 @@ def make_portal_pass_runner_v2(
         cancelled = False
         hook = None
         if on_check is not None:
-            def hook(cycle, w, unfin):
-                nonlocal cancelled
-                if on_check(cycle, w, unfin):
-                    cancelled = True
-                return cancelled
+            import inspect
+
+            params = inspect.signature(on_check).parameters
+            fwd_snap = "snapshot" in params or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
+            if fwd_snap:
+                def hook(cycle, w, unfin, *, snapshot=None):
+                    nonlocal cancelled
+                    if on_check(cycle, w, unfin, snapshot=snapshot):
+                        cancelled = True
+                    return cancelled
+            else:
+                def hook(cycle, w, unfin):
+                    nonlocal cancelled
+                    if on_check(cycle, w, unfin):
+                        cancelled = True
+                    return cancelled
         sample_base = pass_idx * k_full
         pass_key = rng.chunk_key(base_key, pass_idx)
         seed0 = (
@@ -1005,9 +1217,8 @@ def make_portal_pass_runner_v2(
             # that cannot merge into the whole-pass framebuffer exactly
             pass_runner.last_cancelled = True
             return accum, jnp.float32(0.0)
-        if pix_order is None:
-            stages, first = stages[1:], stages[0]
-            accum = accum + first[ROW_ACC:ROW_ACC + 3, :npix].T
+        # every stage scatters by its PIX row — slot position is not a
+        # pixel id once redistribution has re-tasked donor slots
         for st in stages:
             pix = st[V2_ROW_PIX].astype(jnp.int32)
             accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)

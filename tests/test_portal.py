@@ -323,6 +323,7 @@ def test_compact_tail_accounting():
     n, npix, quota, target = 64, 50, 4.0, 48
     pool = g.normal(size=(portal_mod.V2_ROWS, n)).astype(np.float32)
     pool[portal_mod.V2_ROW_PIX] = np.minimum(np.arange(n), npix - 1)
+    pool[portal_mod.V2_ROW_QUOTA] = quota
     done = g.integers(0, 5, size=n).astype(np.float32)
     done[npix:] = quota  # padding slots of the source pool: born retired
     pool[portal_mod.V2_ROW_DONE] = done
@@ -332,9 +333,7 @@ def test_compact_tail_accounting():
     m = len(idx_np)
     idx = jnp.asarray(np.pad(idx_np, (0, target - m)))
     valid = jnp.asarray(np.arange(target) < m)
-    src, small = rportal._compact_tail(
-        jnp.asarray(pool), idx, valid, jnp.float32(quota)
-    )
+    src, small = rportal._compact_tail(jnp.asarray(pool), idx, valid)
     src, small = np.asarray(src), np.asarray(small)
 
     A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
@@ -346,9 +345,13 @@ def test_compact_tail_accounting():
     np.testing.assert_array_equal(src[A1:], pool[A1:])
     # moved slots carry their complete state
     np.testing.assert_array_equal(small[:, :m], pool[:, idx_np])
-    # padding lanes are inert: dead, quota-done, zero radiance
+    # padding lanes are inert: dead, retired (done == quota == 0), zero
+    # radiance
     assert np.all(small[portal_mod.ROW_ALIVE, m:] == 0)
-    assert np.all(small[portal_mod.V2_ROW_DONE, m:] == quota)
+    assert np.all(
+        small[portal_mod.V2_ROW_DONE, m:]
+        >= small[portal_mod.V2_ROW_QUOTA, m:]
+    )
     assert np.all(small[A0:A1, m:] == 0)
 
     def scatter(p):
@@ -402,15 +405,21 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
     A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
     main = np.asarray(stages[0])
     ref = np.asarray(stages0[0])
-    moved = main[portal_mod.V2_ROW_DONE] < spp
+    moved = (
+        main[portal_mod.V2_ROW_DONE] < main[portal_mod.V2_ROW_QUOTA]
+    )
     assert moved.any()
     # unmoved slots: bit-identical to the uncompacted drive
     np.testing.assert_array_equal(
         main[A0:A1][:, ~moved], ref[A0:A1][:, ~moved]
     )
-    # every stage retired its quota exactly (moved slots excepted upstream)
+    # every stage retired its per-slot quota exactly (moved slots excepted
+    # upstream; compaction padding lanes are born retired done==quota==0)
     for st in stages[1:]:
-        assert np.all(np.asarray(st[portal_mod.V2_ROW_DONE]) == spp)
+        st = np.asarray(st)
+        assert np.all(
+            st[portal_mod.V2_ROW_DONE] >= st[portal_mod.V2_ROW_QUOTA]
+        )
     # reconstruction: scatter-add of all stages is finite, >= 0, and
     # statistically consistent with the uncompacted image
     accum = main[A0:A1][:, :npix].T.astype(np.float64).copy()
@@ -535,7 +544,20 @@ def synth_portal():
     return pkey, cam_key, kbufs, npix, rportal._round_block(npix)
 
 
-def test_resolve_pool_native_bit_identical(synth_portal, monkeypatch):
+@pytest.mark.parametrize(
+    "park_k,resolve_bufs",
+    [
+        (1, None),
+        # production PARK_K=3 with a NARROW resolve (resolve_bufs < park_k):
+        # exercises the cross-part read-modify-write of ROW_ACC/V2_ROW_DONE
+        # over parts 2..3 AND the untouched-buffer passthrough (part-0 init
+        # copies all rows; un-resolved buffers must survive verbatim).
+        # Interpreter-heavy (the cheap kernel carries 3 park buffers).
+        pytest.param(3, 2, marks=pytest.mark.slow),
+    ],
+)
+def test_resolve_pool_native_bit_identical(synth_portal, park_k,
+                                           resolve_bufs):
     """The pool-native resolve (trace_pallas_resolve_pool: in-kernel
     bookkeeping, aliased pool output) is BIT-IDENTICAL to the XLA
     composition it replaces (portal_resolve_phase's glue path) on a pool
@@ -544,30 +566,36 @@ def test_resolve_pool_native_bit_identical(synth_portal, monkeypatch):
     from path_tracer_tpu.render import portal as rportal
 
     pkey, cam_key, kbufs, npix, n_pad = synth_portal
-    park_k, spp, depth = 1, 2, 3
+    spp, depth = (2, 3) if park_k == 1 else (5, 4)
     quota = jnp.int32(spp)
     pool0 = rportal.make_pool_v2(npix, n_pad, spp, park_k=park_k)
+    nb = park_k if resolve_bufs is None else min(resolve_bufs, park_k)
     with pltpu.force_tpu_interpret_mode():
-        pool0, _ = portal_mod.trace_cheap_regen(
-            pool0, pkey, cam_key, jnp.int32(7), quota, jnp.int32(0),
-            jnp.int32(4), max_depth=depth, rr_start_depth=5,
-            block=rportal.CHEAP_BLOCK, park_k=park_k,
-        )
-        # the pool must hold real work in BOTH parts or the test is vacuous
+        # several cheap calls so deeper park buffers actually fill
+        for it in range(1 if park_k == 1 else 2):
+            pool0, _ = portal_mod.trace_cheap_regen(
+                pool0, pkey, cam_key, jnp.int32(7 + it), quota, jnp.int32(0),
+                jnp.int32(4), max_depth=depth, rr_start_depth=5,
+                block=rportal.CHEAP_BLOCK, park_k=park_k,
+            )
+        # the pool must hold real work in EVERY resolved part (and, for the
+        # narrow case, in at least one untouched buffer) or the test is
+        # vacuous
         assert float(jnp.sum(pool0[portal_mod.ROW_ALIVE])) > 0
-        bs = pool0[portal_mod.buf_row(0, portal_mod.BUF_STATE)]
-        assert float(jnp.sum((bs > 0.5) & (bs < 1.5))) > 0
+        for j in range(park_k if park_k == 1 else nb + 1):
+            bs = pool0[portal_mod.buf_row(j, portal_mod.BUF_STATE)]
+            assert float(jnp.sum((bs > 0.5) & (bs < 1.5))) > 0, f"buffer {j}"
 
-        def phase(forced, uniforms=None):
-            monkeypatch.setenv("PT_TPU_POOL_RESOLVE", forced)
+        def phase(pool_native, uniforms=None):
             return rportal.portal_resolve_phase(
                 jnp.array(pool0), quota, jnp.int32(11), kbufs,
                 portal_key=pkey, max_depth=depth, rr_start_depth=5,
-                park_k=park_k, uniforms=uniforms,
+                park_k=park_k, resolve_bufs=resolve_bufs,
+                pool_resolve=pool_native, uniforms=uniforms,
             )
 
-        old_pool, old_rays, old_unfin = phase("0")
-        new_pool, new_rays, new_unfin = phase("1")
+        old_pool, old_rays, old_unfin = phase(False)
+        new_pool, new_rays, new_unfin = phase(True)
         np.testing.assert_array_equal(
             np.asarray(old_pool), np.asarray(new_pool)
         )
@@ -578,15 +606,15 @@ def test_resolve_pool_native_bit_identical(synth_portal, monkeypatch):
         # pool-native kernel via its own hook (part-major layout)
         u = jnp.asarray(
             np.random.default_rng(5).uniform(
-                size=(4, (park_k + 1) * n_pad)
+                size=(4, (nb + 1) * n_pad)
             ).astype(np.float32)
         )
-        old_pool_u, _, _ = phase("0", uniforms=u)
+        old_pool_u, _, _ = phase(False, uniforms=u)
         from path_tracer_tpu.ops.pallas.trace_kernel import TILE_META
 
         new_pool_u, _ = portal_mod.trace_pallas_resolve_pool(
             jnp.array(pool0), kbufs, jnp.int32(11) + jnp.int32(1),
-            parts=park_k + 1, max_depth=depth, rr_start_depth=5,
+            parts=nb + 1, max_depth=depth, rr_start_depth=5,
             block=rportal.RESOLVE_BLOCK, uniforms=u,
             const_mat_tiles=TILE_META[pkey].get("tile_uniform_mat"),
         )
@@ -940,3 +968,165 @@ def test_stall_limits_scale_with_narrow_cadence():
     # into the bulk phase, so the patience scales with quota/64
     s2, h2 = _stall_limits(512, 12, 4, 4, narrow=False)
     assert s2 == 20 * 8 and h2 == 256 + 4 * 512 * 16
+
+
+def _scatter_counts(pool_np, flush_np, npix, *, live):
+    """Per-pixel retired-count reconstruction under the snapshot rule:
+    raw done for the LIVE pool, done>=quota rows only for retired stages,
+    plus the flush count-credit column."""
+    pix = pool_np[portal_mod.V2_ROW_PIX].astype(np.int64)
+    done = pool_np[portal_mod.V2_ROW_DONE]
+    if not live:
+        done = np.where(done >= pool_np[portal_mod.V2_ROW_QUOTA], done, 0.0)
+    cnt = np.zeros(npix, np.float64)
+    np.add.at(cnt, pix, done)
+    if flush_np is not None:
+        cnt += flush_np[:npix, 3]
+    return cnt
+
+
+def test_redistribute_samples_accounting():
+    """redistribute_samples re-tasks finished slots onto laggards' upper
+    sample ranges while preserving, bit-for-bit in aggregate: (a) the
+    per-pixel union of sample ranges (exact partition at the split), (b)
+    the banked radiance (donor acc moves to flush under its OLD pixel),
+    and (c) the mid-pass per-pixel retired-count invariant that the
+    progress-snapshot path normalizes by (+done at the old pixel, -split
+    phantom at the new one). Exercised twice (chained adoption) to cover
+    donors whose own done already contains a phantom prefix."""
+    from path_tracer_tpu.render import portal as rportal
+
+    park_k = 1
+    rows = portal_mod.pool_rows(park_k)
+    C, npix, quota = 64, 64, 40.0
+    g = np.random.default_rng(3)
+    pool = np.zeros((rows, C), np.float32)
+    pool[portal_mod.V2_ROW_PIX] = np.arange(C)
+    pool[portal_mod.V2_ROW_QUOTA] = quota
+    # slots 0..15 finished donors (dead, empty park buffers, acc pending)
+    # slots 16..23 laggards with lots of unissued quota
+    # the rest mid-flight (alive, nearly-issued: rem < 2*min_rem so they
+    # are NOT laggards) — must be untouched
+    done = np.full(C, 20.0, np.float32)
+    alive = np.ones(C, np.float32)
+    done[:16] = quota
+    alive[:16] = 0.0
+    started = np.full(C, quota - 2.0, np.float32)
+    started[:16] = quota
+    started[16:24] = 8.0
+    done[16:24] = 6.0
+    pool[portal_mod.V2_ROW_DONE] = done
+    pool[portal_mod.V3_ROW_STARTED] = started
+    pool[portal_mod.ROW_ALIVE] = alive
+    acc = g.uniform(size=(3, C)).astype(np.float32)
+    pool[portal_mod.ROW_ACC:portal_mod.ROW_ACC + 3] = acc
+
+    cnt0 = _scatter_counts(pool, None, npix, live=True)
+    rad0 = np.zeros((npix, 3))
+    np.add.at(rad0, pool[portal_mod.V2_ROW_PIX].astype(np.int64),
+              acc.T.astype(np.float64))
+
+    flush = jnp.zeros((C, 4), jnp.float32)
+    pool1, flush1, n_pairs = rportal.redistribute_samples(
+        jnp.asarray(pool), flush, 4, park_k=park_k)
+    pool1, flush1 = np.asarray(pool1), np.asarray(flush1)
+    assert int(n_pairs) == 8  # 16 donors, 8 laggards -> 8 pairs
+
+    # (a) exact range partition: donor_j covers [split_j, 40) of laggard_j
+    split = quota - np.floor((quota - 8.0) * 0.5)
+    for j in range(8):
+        d, l = j, 16 + j  # rank-k greedy in slot order
+        assert pool1[portal_mod.V2_ROW_PIX, d] == l
+        assert pool1[portal_mod.V2_ROW_QUOTA, d] == quota
+        assert pool1[portal_mod.V2_ROW_DONE, d] == split
+        assert pool1[portal_mod.V3_ROW_STARTED, d] == split
+        assert pool1[portal_mod.V2_ROW_QUOTA, l] == split
+        assert pool1[portal_mod.V2_ROW_DONE, l] == 6.0
+    # non-paired donors and mid-flight slots untouched
+    np.testing.assert_array_equal(pool1[:, 8:16], pool[:, 8:16])
+    np.testing.assert_array_equal(pool1[:, 24:], pool[:, 24:])
+
+    # (b) donor acc banked under the OLD pixel, zeroed in the pool
+    A0, A1 = portal_mod.ROW_ACC, portal_mod.ROW_ACC + 3
+    np.testing.assert_array_equal(pool1[A0:A1, :8], 0.0)
+    np.testing.assert_allclose(flush1[:8, :3], acc.T[:8], rtol=1e-6)
+    rad1 = np.zeros((npix, 3))
+    np.add.at(rad1, pool1[portal_mod.V2_ROW_PIX].astype(np.int64),
+              pool1[A0:A1].T.astype(np.float64))
+    np.testing.assert_allclose(rad1 + flush1[:npix, :3], rad0, rtol=1e-5)
+
+    # (c) per-pixel retired counts invariant under re-tasking
+    np.testing.assert_array_equal(
+        _scatter_counts(pool1, flush1, npix, live=True), cnt0)
+
+    # chained adoption: the 8 paired donors "finish" their adopted quota
+    # and immediately re-donate; counts must STILL reconstruct (their done
+    # now contains a phantom prefix of `split`)
+    pool2 = pool1.copy()
+    pool2[portal_mod.V2_ROW_DONE, :8] = quota
+    pool2[portal_mod.V3_ROW_STARTED, :8] = quota
+    pool2[A0:A1, :8] = 1.0
+    cnt_truth = _scatter_counts(pool2, flush1, npix, live=True)
+    pool3, flush3, n2 = rportal.redistribute_samples(
+        jnp.asarray(pool2), jnp.asarray(flush1), 4, park_k=park_k)
+    pool3, flush3 = np.asarray(pool3), np.asarray(flush3)
+    assert int(n2) == 8  # laggards still have 34-6 >= 8 samples left
+    np.testing.assert_array_equal(
+        _scatter_counts(pool3, flush3, npix, live=True), cnt_truth)
+
+    # the aggregate radiance also still reconstructs (the chained donors'
+    # 1.0-acc was earned while they worked pixels 16..23)
+    rad_truth = rad0.copy()
+    rad_truth[16:24] += 1.0
+    rad3 = np.zeros((npix, 3))
+    np.add.at(rad3, pool3[portal_mod.V2_ROW_PIX].astype(np.int64),
+              pool3[A0:A1].T.astype(np.float64))
+    np.testing.assert_allclose(rad3 + flush3[:npix, :3], rad_truth,
+                               rtol=1e-5)
+
+
+def test_drive_pool_v2_snapshot_hook(synth_portal):
+    """A hook that declares `snapshot` receives a callable computing the
+    mid-pass partial image; at the final poll (unfin == 0) the snapshot's
+    counts equal the full quota for every pixel and its radiance equals
+    the pass's exact framebuffer merge — and the hook itself must not
+    perturb the drive (bitwise-equal stages vs an unhooked run)."""
+    from path_tracer_tpu.render import portal as rportal
+    from path_tracer_tpu.render.portal import make_pool_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    spp, depth = 2, 1
+    snaps = []
+
+    def hook(cycle, w, unfin, *, snapshot=None):
+        assert snapshot is not None
+        snaps.append((unfin, snapshot()))
+        return False
+
+    kw = dict(portal_key=pkey, cam_key=cam_key, max_depth=depth,
+              rr_start_depth=5, check_every=1, ladder=(),
+              adaptive_polls=False, step_cap=16, park_k=1)
+    with pltpu.force_tpu_interpret_mode():
+        stages, rays = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0, jnp.int32(5),
+            kbufs, on_check=hook, **kw)
+        stages_ref, rays_ref = rportal.drive_pool_v2(
+            make_pool_v2(npix, n_pad, spp, park_k=1), spp, 0, jnp.int32(5),
+            kbufs, **kw)
+    assert snaps
+    for st, st_ref in zip(stages, stages_ref):
+        np.testing.assert_array_equal(np.asarray(st), np.asarray(st_ref))
+    assert float(rays) == float(rays_ref)
+
+    unfin_last, (rad, cnt) = snaps[-1]
+    assert unfin_last == 0
+    cnt = np.asarray(cnt)[:npix]
+    np.testing.assert_array_equal(cnt, float(spp))
+    accum = np.zeros((n_pad, 3), np.float64)
+    for st in stages:
+        st = np.asarray(st)
+        np.add.at(accum, st[portal_mod.V2_ROW_PIX].astype(np.int64),
+                  st[portal_mod.ROW_ACC:portal_mod.ROW_ACC + 3]
+                  .T.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(rad)[:npix], accum[:npix],
+                               rtol=1e-6)
