@@ -74,6 +74,18 @@ def make_sharded_pass(
     sp = mesh.shape["sp"]
     if k_full % sp:
         raise ValueError(f"k_full={k_full} must be divisible by sp={sp}")
+    if mode not in ("fast", "exact") and not mode.startswith(
+        ("pallas3:", "pallasr:")
+    ):
+        # an unrecognized mode (e.g. a portal scene routed here by mistake)
+        # must FAIL LOUDLY: the XLA fallthrough below would treat it as the
+        # exact-arithmetic oracle path — a silent ~100x slowdown or an OOM
+        # at pod scale (portal scenes go through
+        # parallel.portal.make_sharded_portal_runner instead)
+        raise ValueError(
+            f"make_sharded_pass cannot shard mode={mode!r}; expected "
+            "fast/exact/pallas3:*/pallasr:*"
+        )
 
     def _local_pass(scene_bufs, cam, accum_local, pass_idx, base_key, limit):
         # inside shard_map: accum_local is this device's pixel tile;
@@ -188,6 +200,74 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _render_sharded_portal(
+    scene: SceneDescriptor,
+    config: RenderConfig,
+    *,
+    mesh: Mesh,
+    mode: str,
+    scene_bufs: dict,
+    npix_pad: int,
+    **kw,
+) -> RenderDone:
+    """Sharded render of a portal-mode (triangle-heavy) scene: one v2 pool
+    per device (see parallel.portal). Pass sizing mirrors pipeline.render's
+    portal branch: big passes for throughput; fine-grained 64-spp passes
+    when pass-boundary artifacts are needed (checkpoints, progress-image
+    snapshots)."""
+    import os
+
+    from path_tracer_tpu.parallel.portal import make_sharded_portal_runner
+
+    res = config.resolution
+    npix = res.num_pixels
+    spp = config.samples_per_pixel
+    pkey = mode.split("@", 1)[0]
+
+    if config.samples_per_pass:
+        k = config.samples_per_pass
+    elif (kw.get("checkpoint_path") and kw.get("checkpoint_every")) or (
+        kw.get("progress") is not None
+        and kw.get("progress_snapshots", True)
+    ):
+        k = min(spp, 64)
+    else:
+        k = min(spp, int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024")))
+    config = config.with_(samples_per_pass=k)
+
+    # mid-pass cancellation rides the drive's poll hook (passes are up to
+    # 1024 spp); a mid-pass cancel discards the pass (whole passes only)
+    cancel = kw.get("cancel")
+    on_check = None
+    if cancel is not None:
+        def on_check(cycle, w, unfin):
+            return cancel()
+
+    runner = make_sharded_portal_runner(
+        mesh,
+        portal_key=pkey,
+        cam_key=f"{pkey}:cam:{res.width}x{res.height}",
+        npix=npix,
+        k_full=k,
+        max_depth=config.max_depth,
+        rr_start_depth=config.rr_start_depth,
+        on_check=on_check,
+    )
+    sharding = NamedSharding(mesh, P("dp", None))
+    accum0 = jax.device_put(jnp.zeros((npix_pad, 3), jnp.float32), sharding)
+    replicate = NamedSharding(mesh, P())
+    scene_bufs = jax.device_put(scene_bufs, replicate)
+    return render(
+        scene,
+        config,
+        device_buffers=scene_bufs,
+        device_mode=mode,
+        pass_runner=runner,
+        accum_init=accum0,
+        **kw,
+    )
+
+
 def render_sharded(
     scene: SceneDescriptor,
     config: RenderConfig,
@@ -221,6 +301,15 @@ def render_sharded(
         raise RuntimeError(
             "scene digests differ across hosts — every process must load an "
             "identical scene (same JSON + meshes) before render_sharded"
+        )
+
+    if mode.startswith("portal:"):
+        # triangle-heavy scene: per-device v2 pools (see parallel.portal).
+        # The reference parallelizes every scene (mod.rs:1020-1023); round 2
+        # silently dropped portal scenes onto the exact XLA path here.
+        return _render_sharded_portal(
+            scene, config, mesh=mesh, mode=mode, scene_bufs=scene_bufs,
+            npix_pad=npix_pad, **kw,
         )
 
     # full-pass size k: must divide by sp (static shapes); any spp is then

@@ -118,6 +118,121 @@ def test_sharded_regen_exact_spp_ragged(all_scenes):
 
 
 @needs_8
+def test_sharded_pass_rejects_unknown_mode():
+    """An unrecognized mode must FAIL LOUDLY instead of silently dispatching
+    the exact-arithmetic oracle path (a ~100x slowdown / pod-scale OOM in
+    round 2 — VERDICT item). Portal scenes route through
+    parallel.portal.make_sharded_portal_runner, never through here."""
+    from path_tracer_tpu.parallel.mesh import make_sharded_pass
+
+    mesh = make_mesh(8, sample_parallel=2)
+    with pytest.raises(ValueError, match="cannot shard"):
+        make_sharded_pass(
+            mesh, width=24, height=16, k_full=4,
+            mode="portal:deadbeef@24x16",
+        )
+
+
+@needs_8
+def test_sharded_portal_routing(all_scenes, monkeypatch):
+    """render_sharded on the triangle-heavy `mesh` scene must route to the
+    sharded portal path (parallel.portal) — the scene family that silently
+    fell back to the exact XLA path in round 2. Routing only (no compute):
+    the portal execution itself is covered on a 2-device mesh below (the
+    Pallas TPU interpreter's cross-device barrier deadlocks with >= 4
+    concurrent devices on a 1-CPU host — see CLAUDE.md)."""
+    from path_tracer_tpu.parallel import mesh as pmesh
+    from path_tracer_tpu.render.pipeline import prepare_scene_and_mode
+
+    scene = all_scenes["mesh"]
+    res = Resolution(16, 24)
+    _, mode = prepare_scene_and_mode(scene, "pallas", res)
+    assert mode.startswith("portal:")  # the scene really is portal-routed
+
+    seen = {}
+
+    def fake(scene_, config_, *, mesh, mode, **kw):
+        seen["mode"] = mode
+        seen["shape"] = dict(mesh.shape)
+        return "SENTINEL"
+
+    monkeypatch.setattr(pmesh, "_render_sharded_portal", fake)
+    cfg = RenderConfig(samples_per_pixel=3, resolution=res,
+                       backend="pallas", max_depth=1)
+    out = render_sharded(scene, cfg, num_devices=8, sample_parallel=2,
+                         out_dir=None, verbose=False)
+    assert out == "SENTINEL"
+    assert seen["mode"].startswith("portal:")
+    assert seen["shape"] == {"dp": 4, "sp": 2}
+
+
+@needs_8
+@pytest.mark.slow
+@pytest.mark.parametrize("dp,sp", [(2, 1), (1, 2)])
+def test_sharded_portal_execution(dp, sp, monkeypatch):
+    """The sharded portal pool end-to-end on a 2-device mesh (one v2 pool
+    per device: dp shards own pixel tiles, sp shards split each pixel's
+    quota). max_depth=1 makes ray accounting EXACT: every one of npix*spp
+    samples traces exactly one segment, wherever (cheap kernel or
+    resolver, either device) it ran — the count proves no sample was
+    lost, duplicated, or re-routed — and two runs are bitwise equal.
+    spp=3 with sp=2 exercises the RAGGED runtime quota split (2, 1).
+    Reference parity target: every scene parallelizes (mod.rs:1020-1023).
+    2 devices, not 8: the Pallas TPU interpreter's cross-device barrier
+    deadlocks with >= 4 concurrent devices on a 1-CPU host (jax bug;
+    hardware meshes are unaffected — dryrun_multichip covers 8-device
+    GSPMD compilation on the non-portal path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from path_tracer_tpu.models.scene import pack_scene
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.ops.pallas import trace_v2
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        TILE_META, kernel_scene_buffers,
+    )
+    from path_tracer_tpu.parallel.mesh import (
+        _render_sharded_portal, make_mesh,
+    )
+    from tests.test_portal import _synthetic_portal_scene
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)  # 3x cheaper interpret
+    scene = _synthetic_portal_scene()
+    res = Resolution.from_height(24)
+    packed = pack_scene(scene)
+    portal = portal_mod.build_portal_consts(packed)
+    assert portal is not None
+    pkey = "portal:test-synth-sharded"
+    trace_v2.register_scene(pkey, portal[0])
+    cam_key = f"{pkey}:cam:{res.width}x{res.height}"
+    trace_v2.register_scene(cam_key, trace_v2.build_camera_consts(
+        scene.camera, res.width, res.height))
+    kbufs, meta = kernel_scene_buffers(packed, with_meta=True)
+    TILE_META[pkey] = meta
+    mode = f"{pkey}@{res.width}x{res.height}"
+
+    mesh = make_mesh(dp * sp, sample_parallel=sp)
+    assert dict(mesh.shape) == {"dp": dp, "sp": sp}
+    cfg = RenderConfig(samples_per_pixel=3, resolution=res, max_depth=1)
+    npix = res.num_pixels
+    with pltpu.force_tpu_interpret_mode():
+        a = _render_sharded_portal(
+            scene, cfg, mesh=mesh, mode=mode,
+            scene_bufs={"kernel": kbufs}, npix_pad=npix,
+            out_dir=None, verbose=False)
+        b = _render_sharded_portal(
+            scene, cfg, mesh=mesh, mode=mode,
+            scene_bufs={"kernel": kbufs}, npix_pad=npix,
+            out_dir=None, verbose=False)
+    px = a.image.pixels
+    assert px.shape == (npix, 3)
+    assert np.isfinite(px).all()
+    assert px.max() > 0.0
+    assert a.stats.num_samples == 3 * npix
+    assert a.stats.num_rays == 3 * npix  # exact conservation @ depth 1
+    np.testing.assert_array_equal(px, b.image.pixels)
+
+
+@needs_8
 @pytest.mark.parametrize("sp", [1, 2])
 def test_sharded_regen_kernel(all_scenes, sp):
     """backend='pallas' routes the sharded pass through the regenerative
