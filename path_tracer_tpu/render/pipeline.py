@@ -32,6 +32,18 @@ from path_tracer_tpu.render.raygen import camera_arrays
 from path_tracer_tpu.utils.config import RenderConfig, Resolution
 from path_tracer_tpu.utils.profiling import RenderStats
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("npix",))
+def _partial_image(accum, rad, cnt, samples_done, *, npix: int):
+    """Mid-pass preview frame: completed-pass accum + the pool snapshot's
+    retired radiance, normalized per pixel by its actual retired count
+    (ragged mid-pass), clamp-after-average like finalize (mod.rs:849-856).
+    One device computation -> one host fetch per preview frame."""
+    total = jnp.maximum(samples_done + cnt[:npix], 1.0)
+    return jnp.clip((accum[:npix] + rad[:npix]) / total[:, None], 0.0, 1.0)
+
 
 @dataclass
 class RenderUpdate:
@@ -302,13 +314,13 @@ def render(
         # pass granularity. Big passes amortize the pool's drain tail —
         # the bulk phase runs ~272 Mray/s while 64-spp passes average 117
         # because every pass pays the full drain (PERF.md 2026-08-18) —
-        # and progress/cancel ride drive_pool_v2's poll hook mid-pass.
-        # Checkpoints and partial-image streaming still live at pass
-        # boundaries, so those renders keep the old fine-grained passes;
-        # everything else (bench, CLI, daemon) gets the big passes.
-        if (checkpoint_path and checkpoint_every) or (
-            progress is not None and progress_snapshots
-        ):
+        # and progress/cancel/preview-images ride drive_pool_v2's poll
+        # hook mid-pass (the hook's `snapshot` callable serves partial
+        # images from the pool, see _snapshot_stages). Only bit-exact
+        # checkpointing still lives at pass boundaries, so checkpointed
+        # renders keep the fine-grained passes; everything else (bench,
+        # CLI, daemon, viewer progress) gets the big passes.
+        if checkpoint_path and checkpoint_every:
             regen_cap = 64
         else:
             # 64/512/1024-spp passes measured 119/161/176 Mray/s on the
@@ -344,11 +356,11 @@ def render(
             # defined further down in this function, resolved at call time.
             portal_hook = None
             if cancel is not None or progress is not None:
-                def portal_hook(cycle, w, unfin):
+                def portal_hook(cycle, w, unfin, *, snapshot=None):
                     if progress is not None:
                         frac = 1.0 - min(unfin / npix, 1.0)
                         maybe_progress(extra_samples=frac * current_k_pass,
-                                       allow_image=False)
+                                       snapshot=snapshot)
                     return cancel is not None and cancel()
 
             pass_runner = make_portal_pass_runner_v2(
@@ -498,13 +510,19 @@ def render(
         return accum, rays
 
     last_update = 0.0
+    # mid-pass previews cost a device round-trip + [npix,3] fetch through
+    # the tunnel; self-throttle so they never exceed ~10% of the render
+    # (next preview no sooner than 10x the last one's cost)
+    last_image_t = 0.0
+    last_image_cost = 0.0
     cancelled = False
 
     def maybe_progress(force: bool = False, extra_samples: float = 0.0,
-                       allow_image: bool = True):
+                       allow_image: bool = True, snapshot=None):
         # extra_samples: mid-pass slot-completion estimate from the portal
-        # hook (the pass's radiance still lives in the pool, so no image)
-        nonlocal last_update
+        # hook; `snapshot` (same hook) computes the pool's retired
+        # radiance/counts on device so big passes still stream previews
+        nonlocal last_update, last_image_t, last_image_cost
         if progress is None:
             return
         now = time.perf_counter()
@@ -512,7 +530,18 @@ def render(
             return
         last_update = now
         img = None
-        if allow_image and progress_snapshots and samples_done > 0:
+        if allow_image and progress_snapshots and snapshot is not None:
+            if force or now - last_image_t >= max(
+                progress_interval, 10.0 * last_image_cost
+            ):
+                rad, cnt = snapshot()
+                partial = _partial_image(
+                    accum, rad, cnt, jnp.float32(samples_done), npix=npix
+                )
+                img = Image.new(np.asarray(partial), res)
+                last_image_t = time.perf_counter()
+                last_image_cost = last_image_t - now
+        elif allow_image and progress_snapshots and samples_done > 0:
             partial = integrator.finalize(accum, samples_done)
             # accum may be padded beyond the framebuffer (sharded execution)
             img = Image.new(unpermute(np.asarray(partial)[:npix]), res)
