@@ -35,22 +35,44 @@ _FLOP_PRIMS = {
     "sqrt": 1, "rsqrt": 1, "cos": 1, "sin": 1, "exp": 1, "log": 1,
 }
 
+# VPU issue-SLOT cost per element: every elementwise vector op occupies an
+# ALU slot whether or not it is a FLOP. Compares/selects/logic/converts are
+# the branchy half of a path tracer that the FLOP count discounts; counting
+# them bounds the attainable Mray/s for THIS instruction mix (the roofline
+# derivation, PERF.md). Transcendentals/div/sqrt expand to multi-slot
+# polynomial/Newton sequences on the VPU — counted at a conservative 4.
+# mul+add pairs the compiler fuses into one FMA slot are still counted as
+# 2, so the slot count is an over-estimate in exactly the places the
+# 4-slot transcendentals under-estimate; the derived ceiling is an
+# ESTIMATE, good to tens of percent, not a measurement.
+_SLOT_PRIMS = dict(_FLOP_PRIMS)
+_SLOT_PRIMS.update({
+    "div": 4, "sqrt": 4, "rsqrt": 4, "cos": 4, "sin": 4, "exp": 4,
+    "log": 4,
+    "eq": 1, "ne": 1, "lt": 1, "le": 1, "gt": 1, "ge": 1,
+    "select_n": 1, "and": 1, "or": 1, "xor": 1, "not": 1,
+    "convert_element_type": 1, "sign": 1, "floor": 1, "ceil": 1,
+    "round": 1, "rem": 1, "shift_left": 1, "shift_right_logical": 1,
+    "shift_right_arithmetic": 1, "iota": 1,
+})
 
-def _count_jaxpr(jaxpr, per_lane_elems):
+
+def _count_jaxpr(jaxpr, per_lane_elems, table=None):
     """Sum flops over all eqns (recursing into sub-jaxprs), per lane."""
+    table = _FLOP_PRIMS if table is None else table
     total = 0
     for eqn in jaxpr.eqns:
         for sub in jax.core.jaxprs_in_params(eqn.params) if hasattr(
             jax.core, "jaxprs_in_params"
         ) else _sub_jaxprs(eqn.params):
-            total += _count_jaxpr(sub, per_lane_elems)
+            total += _count_jaxpr(sub, per_lane_elems, table)
         name = eqn.primitive.name
         if name == "integer_pow":
             n = abs(eqn.params["y"]) - 1
             elems = int(np.prod(eqn.outvars[0].aval.shape, dtype=np.int64))
             total += n * elems
             continue
-        flops = _FLOP_PRIMS.get(name)
+        flops = table.get(name)
         if flops is None:
             continue
         elems = int(np.prod(eqn.outvars[0].aval.shape, dtype=np.int64))
@@ -74,11 +96,11 @@ def _sub_jaxprs(params):
     return out
 
 
-def _per_lane(fn, *args):
+def _per_lane(fn, *args, table=None):
     shape = (8, 256)
     n = int(np.prod(shape))
     jaxpr = jax.make_jaxpr(fn)(*args)
-    return _count_jaxpr(jaxpr.jaxpr, n) / n
+    return _count_jaxpr(jaxpr.jaxpr, n, table) / n
 
 
 # kernel-body plumbing the components don't cover, hand-counted from
@@ -87,15 +109,19 @@ def _per_lane(fn, *args):
 BODY_FLOPS = 23
 
 
-def flops_per_segment(scene) -> dict:
+def flops_per_segment(scene, *, slots: bool = False) -> dict:
     """Per-component essential flops per traced ray segment for the
-    static-scene (v3) regen kernel on `scene` (a loaded Scene)."""
+    static-scene (v3) regen kernel on `scene` (a loaded Scene).
+    slots=True counts VPU issue slots instead (see _SLOT_PRIMS) — the
+    denominator of the attainable-Mray/s roofline for this instruction
+    mix."""
     from path_tracer_tpu.models.scene import pack_scene
     from path_tracer_tpu.ops.pallas import trace_v2
     from path_tracer_tpu.ops.pallas.trace_kernel import (
         make_raygen, shade_phase,
     )
 
+    table = _SLOT_PRIMS if slots else None
     packed = pack_scene(scene)
     consts = trace_v2.build_scene_consts(packed)
     if consts is None:
@@ -108,7 +134,8 @@ def flops_per_segment(scene) -> dict:
     v3 = [v, v, v]
     b = jnp.zeros(shape, bool)
 
-    n_scan = _per_lane(lambda o0: scan([o0, v, v], v3, v)[0], v)
+    n_scan = _per_lane(lambda o0: scan([o0, v, v], v3, v)[0], v,
+                       table=table)
 
     def shade(d0):
         return shade_phase(
@@ -116,7 +143,7 @@ def flops_per_segment(scene) -> dict:
             v, 12, 5,
         )[0][0]
 
-    n_shade = _per_lane(shade, v)
+    n_shade = _per_lane(shade, v, table=table)
 
     cam_consts = trace_v2.build_camera_consts(scene.camera, 1024, 768)
 
@@ -124,7 +151,7 @@ def flops_per_segment(scene) -> dict:
         raygen, _ = make_raygen(cam_consts, pix)
         return raygen(v, v, v)[0]
 
-    n_raygen = _per_lane(rg, v)
+    n_raygen = _per_lane(rg, v, table=table)
 
     total = n_scan + n_shade + n_raygen + BODY_FLOPS
     return {
@@ -143,7 +170,14 @@ def main():
     scene_id = sys.argv[1] if len(sys.argv) > 1 else "cornell"
     scene = pt.load_scene(scene_id, "scenes")
     out = flops_per_segment(scene)
-    print(f"{scene_id}: {out}")
+    print(f"{scene_id} flops: {out}")
+    sl = flops_per_segment(scene, slots=True)
+    print(f"{scene_id} slots: {sl}")
+    # attainable ceiling for this mix on a v5e TensorCore VPU:
+    # 8x128 lanes x 4 ALUs x 1.5 GHz = 6.14e12 issue slots/s
+    peak_slots = 8 * 128 * 4 * 1.5e9
+    print(f"slot-roofline: {peak_slots / sl['total'] / 1e6:.0f} Mray/s "
+          f"(vs measured headline — see PERF.md)")
 
 
 if __name__ == "__main__":

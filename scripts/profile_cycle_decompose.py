@@ -49,10 +49,13 @@ def main():
     npix = res.num_pixels
     n_pad = _round_block(npix)
 
+    from path_tracer_tpu.ops.pallas.portal import V2_ROW_QUOTA
+
     pool = jnp.zeros((V2_ROWS, n_pad), jnp.float32)
     pool = pool.at[ROW_PREV].set(-1.0)
     pool = pool.at[V2_ROW_PIX].set(
         jnp.minimum(jnp.arange(n_pad, dtype=jnp.float32), float(npix - 1)))
+    pool = pool.at[V2_ROW_QUOTA].set(float(quota))
     pool = pool.at[V2_ROW_DONE].set(
         jnp.where(jnp.arange(n_pad) < npix, 0.0, float(quota)).astype(
             jnp.float32))
@@ -80,7 +83,8 @@ def main():
         done = pool[V2_ROW_DONE] + ended.astype(jnp.float32)
         pool = jnp.concatenate(
             [o, d, thr, acc, alive, prev, depth, done[None],
-             pool[V2_ROW_PIX:V2_ROW_PIX + 1]], axis=0)
+             pool[V2_ROW_PIX:V2_ROW_PIX + 1],
+             pool[V2_ROW_QUOTA:V2_ROW_QUOTA + 1]], axis=0)
         if cyc >= 4:  # skip warm-in
             t_cheap_tot += t1 - t0
             t_res_tot += t2 - t1b
