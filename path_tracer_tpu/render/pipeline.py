@@ -206,10 +206,13 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=8)
 def morton_pixel_order(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
     """(perm, inv): Z-order traversal of the pixel grid. Lane blocks then
     cover compact screen tiles (spatial coherence for kernel tile-culling).
-    perm[i] = pixel index visited i-th; inv is its inverse."""
+    perm[i] = pixel index visited i-th; inv is its inverse. Cached: the
+    argsort is ~30 ms of host time at 1024x768 — real money against a
+    ~1 s steady-state render (callers must not mutate the arrays)."""
     p = np.arange(width * height, dtype=np.int64)
     row = p // width
     col = p % width
@@ -622,12 +625,28 @@ def render(
     # ---- finalize ----
     effective_spp = max(samples_done, 1)
     final = integrator.finalize(accum, effective_spp)
-    drain_rays()  # host fetch: syncs all queued passes
-    final.block_until_ready()
+    if accum_sharding is None and jax.process_count() == 1:
+        # ONE host round-trip for image + ray counts: each separate fetch
+        # is a ~25 ms tunnel round-trip — at small-scene walls of ~0.1 s
+        # the second fetch alone was ~20% of the render
+        packed = jnp.concatenate(
+            [final.reshape(-1)]
+            + ([jnp.stack(ray_handles)] if ray_handles else [])
+        )
+        host = np.asarray(packed)
+        if ray_handles:
+            counts = host[final.size:]
+            stats.num_rays += int(counts.astype(np.int64).sum())
+            ray_handles = []
+        final_np = host[: final.size].reshape(final.shape)
+    else:
+        drain_rays()  # host fetch: syncs all queued passes
+        final.block_until_ready()
+        final_np = accum_to_host(final)
     duration = time.perf_counter() - t_start
     stats.wall_seconds = duration
 
-    image = Image.new(unpermute(accum_to_host(final)[:npix]), res)
+    image = Image.new(unpermute(final_np[:npix]), res)
     if verbose:
         print("Rendering complete" if not cancelled else "Rendering cancelled")
 

@@ -772,6 +772,7 @@ def _compact_tail(pool, idx, valid):
     return pool, small
 
 
+@functools.lru_cache(maxsize=8)
 def morton_pixel_order(width: int, height: int) -> np.ndarray:
     """[npix] i32: pixel id owned by each pool slot, in Morton (Z-curve)
     order over the image. RESOLVE_BLOCK consecutive slots then cover a
