@@ -392,6 +392,62 @@ def render_pass(
     return accum, result.rays_traced
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "samples_in_pass",
+        "max_depth",
+        "rr_start_depth",
+        "mode",
+        "literal",
+    ),
+    donate_argnames=("accum",),
+)
+def render_passes_fused(
+    scene: dict,
+    cam: dict,
+    accum,
+    base_key,
+    *,
+    n_passes,
+    width: int,
+    height: int,
+    samples_in_pass: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    mode: str = "fast",
+    pixel_perm=None,
+    quota_rt=None,
+    literal: bool = False,
+):
+    """`n_passes` equal full passes in ONE device dispatch (fori_loop over
+    the render_pass body). Hookless renders (no progress, no cancel, no
+    checkpoint — bench/CLI steady state) use this to drop the per-pass
+    dispatch + host-loop overhead, which is ~10% of a small-scene render
+    through a remote-TPU tunnel. n_passes is a RUNTIME value (the fori
+    lowers to a while_loop) so one compiled program serves every spp.
+    Semantics are identical to the unfused pass loop: pass i covers global
+    samples [i*k, (i+1)*k) with the same chunk_key(base_key, i) stream."""
+    k = samples_in_pass
+
+    def body(i, carry):
+        acc, rays = carry
+        acc, r = render_pass(
+            scene, cam, acc, i, base_key,
+            sample_base=i * jnp.int32(k), width=width, height=height,
+            samples_in_pass=k, max_depth=max_depth,
+            rr_start_depth=rr_start_depth, mode=mode, pixel_perm=pixel_perm,
+            quota_rt=quota_rt, literal=literal,
+        )
+        return acc, rays + r
+
+    return lax.fori_loop(
+        0, n_passes, body, (accum, jnp.float32(0.0))
+    )
+
+
 def finalize(accum, spp: int):
     """Average over spp and clamp per channel to [0,1] AFTER averaging
     (mod.rs:849-856)."""

@@ -205,7 +205,40 @@ def _pick_samples_per_pass(npix: int, spp: int, budget: int) -> int:
 import functools
 
 
-@functools.lru_cache(maxsize=16)
+_CAM_CACHE: dict[tuple, dict] = {}
+
+
+def _device_camera(camera) -> dict:
+    """Device-resident camera basis arrays, cached by value: re-uploading
+    5 small arrays through the tunnel costs ~ms each — real money on a
+    ~0.15 s small-scene render. Entries are tiny; the dict grows only
+    with distinct camera poses (interactive orbits evict via FIFO)."""
+    arrs = camera_arrays(camera)
+    key = tuple(
+        (k, np.asarray(v).tobytes()) for k, v in sorted(arrs.items())
+    )
+    hit = _CAM_CACHE.get(key)
+    if hit is None:
+        if len(_CAM_CACHE) >= 64:
+            _CAM_CACHE.pop(next(iter(_CAM_CACHE)))
+        hit = _CAM_CACHE[key] = {k: jnp.asarray(v) for k, v in arrs.items()}
+    return hit
+
+
+@functools.lru_cache(maxsize=8)
+def _device_pixel_perm(width: int, height: int, npix_pad: int):
+    """(perm [npix_pad] on device, inv [npix] host): cached — the Morton
+    permutation is pure in (w, h) and its per-render device upload is
+    ~0.25 MB at 256x256 (a measurable slice of a 0.15 s render)."""
+    perm_np, inv_perm = morton_pixel_order(width, height)
+    if npix_pad != len(perm_np):
+        # pad lanes redo pixel 0; their accum rows are cropped at the end
+        perm_np = np.concatenate(
+            [perm_np, np.zeros(npix_pad - len(perm_np), perm_np.dtype)]
+        )
+    return jnp.asarray(perm_np), inv_perm
+
+
 @functools.lru_cache(maxsize=8)
 def morton_pixel_order(width: int, height: int) -> tuple[np.ndarray, np.ndarray]:
     """(perm, inv): Z-order traversal of the pixel grid. Lane blocks then
@@ -286,7 +319,7 @@ def render(
         scene_bufs = prepare_scene(scene, mode)
     else:
         scene_bufs, mode = prepare_scene_and_mode(scene, config.backend, res)
-    cam = {k: jnp.asarray(v) for k, v in camera_arrays(scene.camera).items()}
+    cam = _device_camera(scene.camera)
     base_key = rng.root_key(config.seed)
 
     budget = DEFAULT_LANE_BUDGET
@@ -407,13 +440,7 @@ def render(
     # permuted order until finalize. Only the single-device path uses it.
     perm = inv_perm = None
     if pass_runner is None:
-        perm_np, inv_perm = morton_pixel_order(res.width, res.height)
-        if npix_pad != npix:
-            # pad lanes redo pixel 0; their accum rows are cropped at the end
-            perm_np = np.concatenate(
-                [perm_np, np.zeros(npix_pad - npix, perm_np.dtype)]
-            )
-        perm = jnp.asarray(perm_np)
+        perm, inv_perm = _device_pixel_perm(res.width, res.height, npix_pad)
 
     def unpermute(arr: np.ndarray) -> np.ndarray:
         return arr if inv_perm is None else arr[inv_perm]
@@ -583,6 +610,33 @@ def render(
         ray_handles = []
 
     current_k_pass = 0
+
+    # hookless fast path: no progress, no cancel, no checkpoint, no pixel
+    # chunking, not resumed — run all FULL passes as ONE fused dispatch
+    # (integrator.render_passes_fused); the remainder pass (if any) still
+    # goes through the ordinary loop below. Saves the per-pass dispatch +
+    # host-loop overhead (~10% of a small-scene render on the tunnel).
+    if (
+        pass_runner is None and progress is None and cancel is None
+        and not (checkpoint_path and checkpoint_every)
+        and not config.mock_random and not chunk and pass_start == 0
+        and full_passes > 1
+    ):
+        accum, rays = integrator.render_passes_fused(
+            scene_bufs, cam, accum, base_key,
+            n_passes=full_passes, width=res.width, height=res.height,
+            samples_in_pass=regen_cap if regen_mode else k,
+            max_depth=config.max_depth,
+            rr_start_depth=config.rr_start_depth, mode=mode,
+            pixel_perm=perm,
+            quota_rt=jnp.int32(k) if regen_mode else None,
+            literal=literal,
+        )
+        ray_handles.append(rays)
+        samples_done += k * full_passes
+        stats.num_samples += k * full_passes * npix
+        stats.num_dispatches += 1
+        schedule = [(i, kp) for (i, kp) in schedule if i >= full_passes]
 
     for pass_idx, k_pass in schedule:
         if cancel is not None and cancel():

@@ -56,7 +56,8 @@ def test_remainder_pass(all_scenes):
     )
     done = pt.render(all_scenes["two-spheres"], cfg, out_dir=None, verbose=False)
     assert done.stats.num_samples == 7 * 16 * 24
-    assert done.stats.num_dispatches == 3  # 3 + 3 + 1
+    # full passes fuse into one dispatch (render_passes_fused) + remainder
+    assert done.stats.num_dispatches == 2  # fused(3 + 3) + 1
 
 
 def test_distributed_single_host_helpers(all_scenes):

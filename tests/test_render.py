@@ -196,3 +196,35 @@ def test_pixel_chunked_render(all_scenes):
     # chunk RNG folds in the offset: different streams, same statistics
     assert abs(a.image.pixels.mean() - b.image.pixels.mean()) < 0.02
     assert a.stats.num_dispatches == 4 * b.stats.num_dispatches
+
+
+def test_fused_passes_match_unfused(all_scenes):
+    """The hookless fast path (render_passes_fused: all full passes in one
+    fori_loop dispatch) must produce the same image as the ordinary
+    per-pass loop — a no-op progress callback forces the unfused loop
+    while leaving every other knob identical. Same per-pass RNG streams
+    (chunk_key(base_key, i)), so the estimator is identical; assert
+    bitwise first, which holds because the pass body is the same traced
+    computation."""
+    scene = all_scenes["two-spheres"]
+    # spp > samples_per_pass so full_passes > 1 engages the fused path
+    cfg = _cfg(spp=12, backend="fast", samples_per_pass=4)
+    fused = pt.render(scene, cfg, out_dir=None, verbose=False)
+    assert fused.stats.num_dispatches == 1
+    unfused = pt.render(scene, cfg, out_dir=None, verbose=False,
+                        progress=lambda u: None, progress_snapshots=False)
+    assert unfused.stats.num_dispatches == 3
+    assert fused.stats.num_samples == unfused.stats.num_samples
+    assert fused.stats.num_rays == unfused.stats.num_rays
+    np.testing.assert_array_equal(fused.image.pixels, unfused.image.pixels)
+
+
+def test_fused_passes_with_remainder(all_scenes):
+    """Ragged spp: full passes run fused, the remainder pass runs through
+    the ordinary loop; sample accounting stays exact."""
+    scene = all_scenes["two-spheres"]
+    cfg = _cfg(spp=11, backend="fast", samples_per_pass=4)
+    done = pt.render(scene, cfg, out_dir=None, verbose=False)
+    assert done.stats.num_samples == 11 * 24 * 36
+    assert done.stats.num_dispatches == 2  # fused(2 full) + remainder(3)
+    assert done.image.pixels.max() > 0.1
