@@ -783,6 +783,17 @@ def make_isect(tables, B, pretest, n_tiles, tile_base, const_mat_tiles=None):
                             lambda: (jnp.full((1, B), BIG),
                                      jnp.full((1, B), BIG)),
                         )
+                        if ABLATE == "lanemask":
+                            # timing ablation: apply the per-lane slab
+                            # candidacy to the tile result. Semantically
+                            # a no-op (a lane whose segment misses the
+                            # tile AABB cannot hit its triangles) — it
+                            # exists to measure the COST of per-lane
+                            # masking, since lockstep VPU lanes cannot
+                            # early-out: the tile's (tri x lane) work
+                            # executes regardless, so any nonzero cost
+                            # here closes the per-lane-culling lever.
+                            res = (jnp.where(cand, res[0], BIG), res[1])
                     better = res[0] < st[0]
                     st = (jnp.where(better, res[0], st[0]),
                           jnp.where(better, res[1], st[1]))

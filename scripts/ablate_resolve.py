@@ -9,6 +9,10 @@ phase pays ~86 ns/lane for.
     halftiles  kscene truncated to half the Morton tiles (per-tile slope)
     nofetch    deferred MXU feature fetch skipped (PT_TPU_ABLATE)
     nomin      per-tile first-wins reduction -> plain min (PT_TPU_ABLATE)
+    lanemask   per-lane slab candidacy applied to each tile result
+               (PT_TPU_ABLATE; semantically a no-op — measures the pure
+               COST of per-lane masking, the floor any per-lane culling
+               scheme must beat before it saves anything)
 
 Usage: python scripts/ablate_resolve.py <variant> [block]
 Timing-only — ablated kernels render garbage by design. Run each variant
@@ -20,7 +24,7 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-if sys.argv[1:2] and sys.argv[1] in ("nofetch", "nomin"):
+if sys.argv[1:2] and sys.argv[1] in ("nofetch", "nomin", "lanemask"):
     os.environ["PT_TPU_ABLATE"] = sys.argv[1]  # before the tk import
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir("/root/repo")
