@@ -10,9 +10,10 @@ phase pays ~86 ns/lane for.
     nofetch    deferred MXU feature fetch skipped (PT_TPU_ABLATE)
     nomin      per-tile first-wins reduction -> plain min (PT_TPU_ABLATE)
     lanemask   per-lane slab candidacy applied to each tile result
-               (PT_TPU_ABLATE; semantically a no-op — measures the pure
-               COST of per-lane masking, the floor any per-lane culling
-               scheme must beat before it saves anything)
+               (PT_TPU_ABLATE; a no-op up to exact-tie edge cases already
+               implied by the block cull — measures the pure COST of
+               per-lane masking, the floor any per-lane culling scheme
+               must beat before it saves anything)
 
 Usage: python scripts/ablate_resolve.py <variant> [block]
 Timing-only — ablated kernels render garbage by design. Run each variant
