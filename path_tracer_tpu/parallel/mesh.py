@@ -212,9 +212,10 @@ def _render_sharded_portal(
 ) -> RenderDone:
     """Sharded render of a portal-mode (triangle-heavy) scene: one v2 pool
     per device (see parallel.portal). Pass sizing mirrors pipeline.render's
-    portal branch: big passes for throughput; fine-grained 64-spp passes
-    when pass-boundary artifacts are needed (checkpoints, progress-image
-    snapshots)."""
+    portal branch: big passes always — progress previews, cancellation and
+    mid-pass checkpoints ride the drive's poll hook (pipeline.render
+    attaches its closures via the runner's set_hooks, same as the
+    single-device runner)."""
     import os
 
     from path_tracer_tpu.parallel.portal import make_sharded_portal_runner
@@ -226,22 +227,9 @@ def _render_sharded_portal(
 
     if config.samples_per_pass:
         k = config.samples_per_pass
-    elif (kw.get("checkpoint_path") and kw.get("checkpoint_every")) or (
-        kw.get("progress") is not None
-        and kw.get("progress_snapshots", True)
-    ):
-        k = min(spp, 64)
     else:
         k = min(spp, int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024")))
     config = config.with_(samples_per_pass=k)
-
-    # mid-pass cancellation rides the drive's poll hook (passes are up to
-    # 1024 spp); a mid-pass cancel discards the pass (whole passes only)
-    cancel = kw.get("cancel")
-    on_check = None
-    if cancel is not None:
-        def on_check(cycle, w, unfin):
-            return cancel()
 
     runner = make_sharded_portal_runner(
         mesh,
@@ -251,7 +239,6 @@ def _render_sharded_portal(
         k_full=k,
         max_depth=config.max_depth,
         rr_start_depth=config.rr_start_depth,
-        on_check=on_check,
     )
     sharding = NamedSharding(mesh, P("dp", None))
     accum0 = jax.device_put(jnp.zeros((npix_pad, 3), jnp.float32), sharding)

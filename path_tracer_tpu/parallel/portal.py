@@ -1,9 +1,8 @@
 """Sharded portal-deferred rendering: the v2 pool over a device mesh.
 
 The reference parallelizes EVERY scene across all cores
-(/root/reference/src/render/mod.rs:1020-1023); this is the missing analog
-for triangle-heavy (portal-mode) scenes — round 2 covered sphere/regen
-scenes only and portal scenes silently fell off the sharded path.
+(/root/reference/src/render/mod.rs:1020-1023); this is the analog for
+triangle-heavy (portal-mode) scenes.
 
 Design: the pixel-pinned pool is embarrassingly parallel — slots never
 communicate (each owns a pixel's samples; retirement is a pass-end
@@ -16,10 +15,20 @@ scatter-add). So the pool's lane axis is sharded over the WHOLE mesh:
 
 giving ndev independent pools that run their cheap/resolve Pallas kernels
 under one ``shard_map`` per cycle. Cross-device traffic is exactly: the
-per-poll ``psum`` of unfinished counts (a scalar), and the pass-end
+per-poll fetch of per-device unfinished counts, and the pass-end
 framebuffer scatter-add (XLA collectives over ICI). Tail compaction is
 per-device (each device argsort-partitions its OWN slots), so the ladder
 needs no resharding.
+
+The drive loop — poll batching, stall backstops, ladder walk, mid-pass
+sample REDISTRIBUTION, freeze-and-drain cancellation and mid-pass
+checkpoints — is render.drive.drive_loop, shared verbatim with the
+single-device scheduler; this module supplies only the shard_map'd cycle
+/ compaction / redistribution callables. Redistribution is slot-local,
+so each device re-tasks its own finished slots onto its own laggards
+(same +28% occupancy mechanism as the single-device pool, PERF.md
+2026-08-19); donors bank credits into a device-local flush buffer keyed
+by the device's pixel tile.
 
 RNG: per-device streams decorrelate via a device-index seed offset; images
 are deterministic for a fixed (seed, mesh topology, pass schedule).
@@ -28,6 +37,7 @@ are deterministic for a fixed (seed, mesh topology, pass schedule).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -73,8 +83,9 @@ def make_sharded_portal_runner(
     k_full: int,
     max_depth: int = 12,
     rr_start_depth: int = 5,
-    check_every: int = 4,
+    check_every: int | None = None,
     on_check: Callable | None = None,
+    on_pause: Callable | None = None,
 ) -> Callable:
     """Build a pipeline pass_runner that drives one v2 pool per device.
 
@@ -84,10 +95,15 @@ def make_sharded_portal_runner(
     size; any k_pass <= k_full (ragged remainders included) rides the same
     compiled programs as runtime quotas.
 
-    on_check(cycle, width, unfin) is the mid-pass progress/cancel poll hook
-    (see drive_pool_v2); a truthy return aborts the pass (whole passes
-    only — the partial pool's ragged radiance is discarded).
-    """
+    on_check(cycle, width, unfin) is the mid-pass progress/cancel poll
+    hook (see render.drive): falsy continues, truthy CANCELs, "pause"
+    requests a mid-pass checkpoint. Both stop via freeze-and-drain, so
+    every started sample retires and merges exactly — .last_cancelled /
+    .last_partial_counts / on_pause / .resume_slots behave exactly as in
+    render.portal.make_portal_pass_runner_v2 (the slot rows are global,
+    positionally device-mapped; a resume needs the same mesh shape)."""
+    if check_every is None:
+        check_every = int(os.environ.get("PT_TPU_CHECK_EVERY", "4"))
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     ndev = dp * sp
@@ -96,8 +112,8 @@ def make_sharded_portal_runner(
     npix_local = -(-npix // dp)
     n_local = rportal._round_block(npix_local)
     sharding = _pool_sharding(mesh)
-    replicated = NamedSharding(mesh, P())
     dev_spec = P(("dp", "sp"))
+    flush_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
 
     @functools.partial(jax.jit, static_argnames=())
     def make_pool(k_pass):
@@ -198,6 +214,41 @@ def make_sharded_portal_runner(
             check_vma=False,
         )(pool)
 
+    @functools.partial(
+        jax.jit, static_argnames=("min_rem",), donate_argnums=(0, 1)
+    )
+    def redistribute(pool, flush, *, min_rem: int):
+        """Per-device mid-pass redistribution: each device's finished
+        slots adopt its own laggards' remaining upper half-ranges
+        (slot-local matching — render.portal.redistribute_samples runs
+        unchanged per shard). Credits land in the device's slice of the
+        flush buffer, keyed by pixel MINUS the device's tile base."""
+
+        def local(pool_loc, flush_loc):
+            i = lax.axis_index("dp")
+            pool_loc, flush_loc, _ = rportal.redistribute_samples(
+                pool_loc, flush_loc, min_rem, park_k=park_k,
+                pix_offset=(i * npix_local).astype(jnp.float32),
+            )
+            return pool_loc, flush_loc
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, ("dp", "sp")), P(("dp", "sp"), None)),
+            out_specs=(P(None, ("dp", "sp")), P(("dp", "sp"), None)),
+            check_vma=False,
+        )(pool, flush)
+
+    def _flush_pix_map(n_flush_local: int) -> np.ndarray:
+        """Global row -> pixel id for the sharded flush buffer: device
+        d = row // n_flush_local owns dp tile i = d // sp; local row r
+        keys pixel i*npix_local + r (trash rows clip to npix-1 — they
+        only ever accumulate zeros)."""
+        r = np.arange(ndev * n_flush_local, dtype=np.int64)
+        i = (r // n_flush_local) // sp
+        pix = i * npix_local + (r % n_flush_local)
+        return np.minimum(pix, npix - 1).astype(np.int32)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def scatter_stage(accum, stage):
         """Scatter a finished stage's radiance into the dp-sharded accum.
@@ -207,10 +258,20 @@ def make_sharded_portal_runner(
         pix = stage[V2_ROW_PIX].astype(jnp.int32)
         return accum.at[pix].add(stage[ROW_ACC:ROW_ACC + 3].T)
 
+    hooks = {"on_check": on_check, "on_pause": on_pause}
+
+    def set_hooks(on_check=None, on_pause=None):
+        if on_check is not None:
+            hooks["on_check"] = on_check
+        if on_pause is not None:
+            hooks["on_pause"] = on_pause
+
     def pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
         from path_tracer_tpu.ops import rng
+        from path_tracer_tpu.render import drive
 
         pass_runner.last_cancelled = False
+        pass_runner.last_partial_counts = None
         kscene = scene_bufs["kernel"]
         pass_key = rng.chunk_key(base_key, pass_idx)
         seed0 = (
@@ -218,88 +279,130 @@ def make_sharded_portal_runner(
         )
         sample_base = jnp.int32(pass_idx * k_full)
         kq = jnp.int32(k_pass)
-        step_cap = jnp.int32(rportal._default_step_cap())
+        step_cap = int(rportal._default_step_cap())
         pool_resolve = rportal.POOL_RESOLVE
-        pool = make_pool(kq)
+
+        resume = getattr(pass_runner, "resume_slots", None)
+        pass_runner.resume_slots = None
+        if resume is not None:
+            pix_r, done_r, quota_r = (np.asarray(a) for a in resume)
+            w = len(pix_r)
+            if w % (ndev * rportal.CHEAP_BLOCK):
+                raise ValueError(
+                    f"resume slot width {w} does not tile a "
+                    f"{ndev}-device mesh (mesh shape changed?)"
+                )
+            pool_np = np.zeros((rows, w), np.float32)
+            pool_np[rportal.ROW_PREV] = -1.0
+            pool_np[V2_ROW_PIX] = pix_r
+            pool_np[V2_ROW_DONE] = done_r
+            pool_np[V2_ROW_QUOTA] = quota_r
+            if park_k:
+                pool_np[V3_ROW_STARTED] = done_r
+            pool = jax.device_put(pool_np, sharding)
+        else:
+            pool = make_pool(kq)
 
         ladder = tuple(w for w in DEV_TAIL_LADDER if w < n_local)
         stall_limit, hard_limit = rportal._stall_limits(
             k_pass, max_depth, check_every, 1, narrow=False
         )
-        stages = []
-        rays = jnp.float32(0.0)
-        cycle_idx = 0
-        stalled_polls = 0
-        last_u = None
-        cancelled = False
         # poll batching amortizes the ~25 ms queue-draining tunnel
         # round-trip per poll — a hardware economics; on CPU (tests,
         # interpreter) each cycle is SECONDS, so overshooting the drain by
         # a 32-cycle burst turns a 2-cycle test render into hours
         batch_polls = jax.default_backend() == "tpu"
-        while True:
+        redist = os.environ.get("PT_TPU_REDIST", "1") != "0"
+        redist_min = int(os.environ.get("PT_TPU_REDIST_MIN", "16"))
+        # per-shard quotas are ~k_pass/sp; a laggard needs >= 2*min_rem
+        # un-issued samples for a split to be worth a donor's warm-up
+        redist = redist and (k_pass // max(sp, 1)) >= 2 * redist_min
+        nf_local = pool.shape[1] // ndev
+        flush_pix = jnp.asarray(_flush_pix_map(nf_local))
+
+        def run_cycles(pool, cycle_idx, steps):
+            rays = jnp.float32(0.0)
             unfin = None
-            w = pool.shape[1]
-            # poll batching: same economics as drive_pool_v2 (each poll is
-            # a queue-draining host round-trip); per-device widths shrink
-            # down the ladder
-            if not batch_polls:
-                steps = check_every
-            elif w >= 131072:
-                steps = (2 if k_pass >= 256 else 1) * check_every
-            elif w >= 16384:
-                steps = 2 * check_every
-            elif w > 2048:
-                steps = 4 * check_every
-            else:
-                steps = 8 * check_every
-            if batch_polls and cycle_idx == 0:
-                per_cycle = int(step_cap) + park_k + 1
-                steps = max(
-                    steps,
-                    min(k_pass // max(per_cycle, 1), 16 * check_every),
-                )
-            for _ in range(steps):
+            for s in range(steps):
                 pool, r, unfin = cycle(
                     pool, kq, sample_base,
-                    seed0 + jnp.int32(2 * cycle_idx + 1), kscene, step_cap,
-                    pool_resolve=pool_resolve,
+                    seed0 + jnp.int32(2 * (cycle_idx + s) + 1), kscene,
+                    jnp.int32(step_cap), pool_resolve=pool_resolve,
                 )
                 rays = rays + r
-                cycle_idx += 1
-            per_dev = np.asarray(unfin)
-            u = int(per_dev.sum())
-            if on_check is not None and on_check(cycle_idx, w, u):
-                cancelled = True
-                break
-            if u == 0:
-                stages.append(pool)
-                break
-            stalled_polls = stalled_polls + 1 if u == last_u else 0
-            last_u = u
-            if stalled_polls >= stall_limit or cycle_idx > hard_limit:
-                raise RuntimeError(
-                    f"sharded portal scheduler stalled: {u} slots "
-                    f"unfinished after {cycle_idx} cycles"
-                )
-            u_max = int(per_dev.max())
-            target = None
-            for wl in sorted(ladder, reverse=True):
-                if u_max <= wl < pool.shape[1]:
-                    target = wl
-            if target is not None:
-                pool, small = compact(pool, target=target)
-                stages.append(pool)
-                pool = small
+            return pool, rays, unfin
 
-        if cancelled:
-            # whole passes only: the partial pool's per-slot counts are
-            # ragged and cannot merge into the framebuffer exactly
-            pass_runner.last_cancelled = True
-            return accum, jnp.float32(0.0)
-        for st in stages:
-            accum = scatter_stage(accum, st)
-        return accum, rays
+        def poll(unfin):
+            per_dev = np.asarray(unfin)
+            return int(per_dev.sum()), int(per_dev.max())
+
+        def compact_fn(pool, u_max):
+            target = None
+            w_loc = pool.shape[1] // ndev
+            for wl in sorted(ladder, reverse=True):
+                if u_max <= wl < w_loc:
+                    target = wl
+            if target is None:
+                return None
+            return compact(pool, target=target)
+
+        rays = jnp.float32(0.0)
+        cycle0 = 0
+        while True:
+            # each drive's flush is sized to its entry pool width — the
+            # row->pixel map follows (trash rows only accumulate zeros)
+            nf = pool.shape[1] // ndev
+            fp = flush_pix if nf == nf_local \
+                else jnp.asarray(_flush_pix_map(nf))
+            res = drive.drive_loop(
+                pool,
+                run_cycles=run_cycles,
+                poll=poll,
+                compact_fn=compact_fn,
+                redistribute_fn=(
+                    (lambda p, fl: redistribute(p, fl, min_rem=redist_min))
+                    if redist else None
+                ),
+                new_flush=lambda nf=nf: jax.device_put(
+                    jnp.zeros((ndev * nf, 4), jnp.float32), flush_sharding
+                ),
+                snapshot_fn=lambda sts, fl, fp=fp: rportal._snapshot_stages(
+                    sts, fl, fp, out_rows=npix
+                ),
+                k_pass=k_pass, max_depth=max_depth, step_cap=step_cap,
+                park_k=park_k, check_every=check_every,
+                batch_polls=batch_polls, stall_limit=stall_limit,
+                hard_limit=hard_limit, on_check=hooks["on_check"],
+                cycle0=cycle0,
+            )
+            rays = rays + res.rays
+            stages = list(res.stages)
+            if res.flush is not None:
+                stages.append(rportal._flush_stage(res.flush, fp))
+            for st in stages:
+                accum = scatter_stage(accum, st)
+            if res.outcome == drive.DONE:
+                return accum, rays
+            if res.outcome == drive.CANCEL:
+                _, cnt = rportal._snapshot_stages(
+                    tuple(res.stages), res.flush, fp, out_rows=npix
+                )
+                pass_runner.last_cancelled = True
+                pass_runner.last_partial_counts = cnt[:npix]
+                return accum, rays
+            # PAUSE: persist (radiance already merged), thaw, continue
+            live = res.stages[-1]
+            if hooks["on_pause"] is not None:
+                slot_rows = np.asarray(jnp.stack([
+                    live[V2_ROW_PIX], live[V2_ROW_DONE],
+                    jnp.asarray(res.frozen_quota),
+                ]))
+                hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
+            pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
+            cycle0 = res.cycles
 
     pass_runner.last_cancelled = False
+    pass_runner.last_partial_counts = None
+    pass_runner.resume_slots = None
+    pass_runner.set_hooks = set_hooks
     return pass_runner

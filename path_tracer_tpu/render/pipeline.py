@@ -349,19 +349,15 @@ def render(
         # the portal scheduler has no static quota; the cap only sets the
         # pass granularity. Big passes amortize the pool's drain tail —
         # the bulk phase runs ~272 Mray/s while 64-spp passes average 117
-        # because every pass pays the full drain (PERF.md 2026-08-18) —
-        # and progress/cancel/preview-images ride drive_pool_v2's poll
-        # hook mid-pass (the hook's `snapshot` callable serves partial
-        # images from the pool, see _snapshot_stages). Only bit-exact
-        # checkpointing still lives at pass boundaries, so checkpointed
-        # renders keep the fine-grained passes; everything else (bench,
-        # CLI, daemon, viewer progress) gets the big passes.
-        if checkpoint_path and checkpoint_every:
-            regen_cap = 64
-        else:
-            # 64/512/1024-spp passes measured 119/161/176 Mray/s on the
-            # mesh headline (PERF.md) — the drain amortizes with pass size
-            regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024"))
+        # because every pass pays the full drain (PERF.md 2026-08-18).
+        # Progress/cancel/preview-images AND checkpoints all ride the
+        # drive's poll hook mid-pass: previews via the hook's `snapshot`
+        # callable, cancel and checkpoints via freeze-and-drain (every
+        # started sample retires and merges exactly — see render.drive),
+        # so nothing needs fine-grained passes anymore.
+        # 64/512/1024-spp passes measured 119/161/176 Mray/s on the
+        # mesh headline (PERF.md) — the drain amortizes with pass size
+        regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024"))
     if config.samples_per_pass:
         k = config.samples_per_pass
         if regen_cap:
@@ -386,19 +382,6 @@ def render(
                 make_portal_pass_runner_v2,
             )
 
-            # mid-pass hook: passes are up to PT_TPU_PORTAL_PASS_CAP spp,
-            # so progress and cancel ride the drive's termination polls.
-            # Late-binding closures: maybe_progress / current_k_pass are
-            # defined further down in this function, resolved at call time.
-            portal_hook = None
-            if cancel is not None or progress is not None:
-                def portal_hook(cycle, w, unfin, *, snapshot=None):
-                    if progress is not None:
-                        frac = 1.0 - min(unfin / npix, 1.0)
-                        maybe_progress(extra_samples=frac * current_k_pass,
-                                       snapshot=snapshot)
-                    return cancel is not None and cancel()
-
             pass_runner = make_portal_pass_runner_v2(
                 portal_key=pkey,
                 cam_key=f"{pkey}:cam:{res.width}x{res.height}",
@@ -408,7 +391,6 @@ def render(
                 rr_start_depth=config.rr_start_depth,
                 width=res.width,
                 height=res.height,
-                on_check=portal_hook,
             )
         else:
             from path_tracer_tpu.render.portal import make_portal_pass_runner
@@ -421,6 +403,58 @@ def render(
                 k_full=k,
                 max_depth=config.max_depth,
                 rr_start_depth=config.rr_start_depth,
+            )
+
+    # mid-pass hook wiring for portal runners (the internal one above or
+    # an externally supplied sharded one): progress, cancel and
+    # time-based mid-pass checkpoints all ride the drive's poll hook —
+    # passes are up to PT_TPU_PORTAL_PASS_CAP spp, so pass boundaries are
+    # too coarse for any of them. Cancel/checkpoint stop the pass via
+    # freeze-and-drain (render.drive): every started sample retires and
+    # merges exactly — a cancelled render keeps all its samples
+    # (reference parity at sample granularity: mod.rs:1002-1004) and a
+    # checkpoint written mid-pass resumes sample-exactly.
+    # Late-binding closures: maybe_progress / current_k_pass /
+    # samples_done are defined further down, resolved at call time.
+    if pass_runner is not None and hasattr(pass_runner, "set_hooks"):
+        mid_ckpt = bool(checkpoint_path and checkpoint_every)
+        ck_state = {"t": time.monotonic()}
+        # cadence in seconds (checkpoint_every counts passes, but a big
+        # portal pass IS the render — time is the usable granularity)
+        ck_secs = float(os.environ.get("PT_TPU_CKPT_SECS", "60"))
+
+        def portal_hook(cycle, w, unfin, *, snapshot=None):
+            if progress is not None:
+                frac = 1.0 - min(unfin / npix, 1.0)
+                maybe_progress(extra_samples=frac * current_k_pass,
+                               snapshot=snapshot)
+            if cancel is not None and cancel():
+                return "cancel"
+            if mid_ckpt and time.monotonic() - ck_state["t"] >= ck_secs:
+                return "pause"
+            return False
+
+        def save_mid_pass(accum_dev, slot_rows, pass_idx, k_pass):
+            # accum_dev already holds every retired sample's radiance;
+            # slot_rows = (pix, done, quota) describe the remaining
+            # per-slot sample ranges [done, quota) — see render.drive
+            np.savez(
+                checkpoint_path,
+                accum=accum_to_host(accum_dev),
+                samples_done=samples_done,
+                next_pass=pass_idx,
+                seed=config.seed, spp=spp, npix=npix, k=k,
+                num_rays=stats.num_rays,
+                mid_pass=1,
+                slot_pix=slot_rows[0], slot_done=slot_rows[1],
+                slot_quota=slot_rows[2],
+            )
+            ck_state["t"] = time.monotonic()
+
+        if progress is not None or cancel is not None or mid_ckpt:
+            pass_runner.set_hooks(
+                on_check=portal_hook,
+                on_pause=save_mid_pass if mid_ckpt else None,
             )
 
     # pixel chunking: when even one sample/pixel exceeds the lane budget
@@ -484,13 +518,28 @@ def render(
             mismatches.append(
                 f"accum rows {ck['accum'].shape[0]} != {npix_pad} (chunking)"
             )
+        mid_pass = "mid_pass" in ck.files and int(ck["mid_pass"])
+        if mid_pass and not hasattr(pass_runner, "resume_slots"):
+            mismatches.append(
+                "mid-pass checkpoint needs a portal pass runner "
+                "(backend/scene changed?)"
+            )
         if not mismatches:
             accum = host_to_accum(ck["accum"])
             samples_done = int(ck["samples_done"])
             pass_start = int(ck["next_pass"])
             stats.num_rays = int(ck["num_rays"])
+            if mid_pass:
+                # resume INTO pass `pass_start`: the runner continues the
+                # saved per-slot sample ranges, so every remaining sample
+                # id renders exactly once and the finished frame is
+                # scalar-normalizable as if never interrupted
+                pass_runner.resume_slots = (
+                    ck["slot_pix"], ck["slot_done"], ck["slot_quota"]
+                )
             if verbose:
-                print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp")
+                print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp"
+                      + (" (mid-pass)" if mid_pass else ""))
         else:
             # a silently dropped checkpoint would discard hours of
             # accumulation without a trace — ALWAYS say why it was ignored
@@ -621,6 +670,9 @@ def render(
         and not (checkpoint_path and checkpoint_every)
         and not config.mock_random and not chunk and pass_start == 0
         and full_passes > 1
+        # PT_TPU_NO_FUSE=1: A/B the fused dispatch against the per-pass
+        # loop (scripts/ab_fused_dispatch.py); read per render call
+        and not os.environ.get("PT_TPU_NO_FUSE")
     ):
         accum, rays = integrator.render_passes_fused(
             scene_bufs, cam, accum, base_key,
@@ -646,14 +698,17 @@ def render(
             break
         current_k_pass = k_pass
         accum, rays = run_pass(accum, pass_idx, k_pass)
+        ray_handles.append(rays)
         if getattr(pass_runner, "last_cancelled", False):
-            # the portal hook aborted mid-pass; the pass's partial ragged
-            # radiance was discarded by the runner (whole passes only)
+            # the portal hook cancelled mid-pass via freeze-and-drain:
+            # every started sample retired and merged into accum (the
+            # runner's .last_partial_counts holds the exact ragged
+            # per-pixel counts for finalize); un-started samples are the
+            # only loss
             if verbose:
                 print("Canceling render prematurely")
             cancelled = True
             break
-        ray_handles.append(rays)
         samples_done += k_pass * 1  # per pixel
         stats.num_samples += k_pass * npix
         stats.num_dispatches += n_chunks
@@ -678,7 +733,18 @@ def render(
 
     # ---- finalize ----
     effective_spp = max(samples_done, 1)
-    final = integrator.finalize(accum, effective_spp)
+    partial_counts = getattr(pass_runner, "last_partial_counts", None) \
+        if pass_runner is not None else None
+    if cancelled and partial_counts is not None:
+        # a drained portal cancel keeps every started sample; normalize
+        # per pixel by its exact retired count (completed passes + the
+        # cancelled pass's ragged counts) — nothing is discarded
+        final = _partial_image(
+            accum, jnp.zeros((npix, 3), jnp.float32), partial_counts,
+            jnp.float32(samples_done), npix=npix,
+        )
+    else:
+        final = integrator.finalize(accum, effective_spp)
     if accum_sharding is None and jax.process_count() == 1:
         # ONE host round-trip for image + ray counts: each separate fetch
         # is a ~25 ms tunnel round-trip — at small-scene walls of ~0.1 s

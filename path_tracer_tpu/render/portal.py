@@ -632,7 +632,8 @@ TAIL_LADDER = (262144, 131072, 65536, 16384, 8192, 2048)
 
 @functools.partial(jax.jit, static_argnames=("park_k",),
                    donate_argnums=(0, 1))
-def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int):
+def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int,
+                         pix_offset=0):
     """Mid-pass work redistribution: finished slots adopt the upper half of
     the laggards' remaining sample ranges.
 
@@ -657,7 +658,12 @@ def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int):
     summing raw `done` over stages + flush[:, 3] then equals the true
     per-pixel retired count at any instant. Matching is rank-k greedy
     (k-th donor <- k-th laggard, both in slot order) via two cumsums — no
-    sort, no multi-row gather. Returns (pool', flush', n_pairs)."""
+    sort, no multi-row gather. Returns (pool', flush', n_pairs).
+
+    pix_offset: subtracted from pixel ids when keying `flush` rows — the
+    sharded runner passes each device's pixel-tile base so a LOCAL flush
+    buffer serves global pixel ids (matching stays slot-local either
+    way, so redistribution shards as-is)."""
     quota = pool[V2_ROW_QUOTA]
     done = pool[V2_ROW_DONE]
     started = pool[V3_ROW_STARTED] if park_k else done
@@ -694,14 +700,17 @@ def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int):
     # bank the donor's retired radiance + count credit under its OLD pixel
     # (non-take lanes scatter zeros at an arbitrary row), and cancel the
     # phantom `split` prefix the donor is about to credit to the NEW pixel
-    fpix = jnp.where(take, pix, jnp.float32(flush.shape[0] - 1))
+    off = jnp.asarray(pix_offset, jnp.float32)
+    fpix = jnp.where(take, pix - off, jnp.float32(flush.shape[0] - 1))
     takef = take.astype(jnp.float32)
     contrib = jnp.concatenate([
         jnp.where(take[None], pool[ROW_ACC:ROW_ACC + 3], 0.0),
         (takef * done)[None],
     ])
     flush = flush.at[fpix.astype(jnp.int32)].add(contrib.T)
-    npix_new = jnp.where(take, pix[src], jnp.float32(flush.shape[0] - 1))
+    npix_new = jnp.where(
+        take, pix[src] - off, jnp.float32(flush.shape[0] - 1)
+    )
     flush = flush.at[npix_new.astype(jnp.int32), 3].add(-takef * sp)
 
     pool = pool.at[V2_ROW_QUOTA].set(
@@ -716,19 +725,22 @@ def redistribute_samples(pool, flush, min_rem: int = 64, *, park_k: int):
 
 
 @jax.jit
-def _flush_stage(flush):
+def _flush_stage(flush, flush_pix=None):
     """Wrap the redistribution flush buffer ([n, 4] rgb+count keyed by row
-    = pixel) as one synthetic stage so the pass runner's ordinary
-    pix/acc scatter retires it (the count column is snapshot-only)."""
+    = pixel, or by the optional flush_pix [n] row->pixel map) as one
+    synthetic stage so the pass runner's ordinary pix/acc scatter retires
+    it (the count column is snapshot-only)."""
     n = flush.shape[0]
     st = jnp.zeros((V2_ROWS, n), jnp.float32)
     st = st.at[ROW_ACC:ROW_ACC + 3].set(flush[:, :3].T)
-    st = st.at[V2_ROW_PIX].set(jnp.arange(n, dtype=jnp.float32))
+    pix = (jnp.arange(n, dtype=jnp.float32) if flush_pix is None
+           else jnp.asarray(flush_pix, jnp.float32))
+    st = st.at[V2_ROW_PIX].set(pix)
     return st
 
 
 @functools.partial(jax.jit, static_argnames=("out_rows",))
-def _snapshot_stages(stages, flush, *, out_rows: int):
+def _snapshot_stages(stages, flush, flush_pix=None, *, out_rows: int):
     """Mid-pass partial image: scatter every stage's retired radiance and
     sample counts by pixel id into [out_rows, 3] / [out_rows] buffers.
 
@@ -750,8 +762,13 @@ def _snapshot_stages(stages, flush, *, out_rows: int):
             done = jnp.where(done >= st[V2_ROW_QUOTA], done, 0.0)
         cnt = cnt.at[pix].add(done)
     if flush is not None:
-        rad = rad + flush[:, :3]
-        cnt = cnt + flush[:, 3]
+        if flush_pix is None:
+            rad = rad.at[: flush.shape[0]].add(flush[:, :3])
+            cnt = cnt.at[: flush.shape[0]].add(flush[:, 3])
+        else:
+            fp = jnp.asarray(flush_pix, jnp.int32)
+            rad = rad.at[fp].add(flush[:, :3])
+            cnt = cnt.at[fp].add(flush[:, 3])
     return rad, cnt
 
 
@@ -920,22 +937,34 @@ def drive_pool_v2(
     narrow_bufs: int | None = None,
     full_every: int = 4,
     sort_lanes: int | None = None,
+    cycle0: int = 0,
+    return_result: bool = False,
 ):
     """Cycle a pixel-pinned pool until every slot retires its quota,
     compacting the unfinished tail down the width `ladder` as it shrinks.
 
+    The control loop (poll batching, stall/hard backstops, ladder walk,
+    redistribution trigger, freeze-and-drain) is render.drive.drive_loop,
+    shared with the sharded scheduler — this wrapper supplies the
+    single-device cycle runner (dispatch fusion, narrow resolves) and the
+    host-side tail compaction.
+
     Returns (stages, rays): `stages` is the list of finished pools (the
-    original plus one per compaction); summing every stage's acc rows keyed
-    by its V2_ROW_PIX row reconstructs the pass radiance exactly.
+    original plus one per compaction, plus the redistribution flush as a
+    synthetic final stage); summing every stage's acc rows keyed by its
+    V2_ROW_PIX row reconstructs the retired radiance exactly.
     `on_check(cycle, width, unfin)` is called after each termination poll
-    (progress/cancel/profiling hook); a truthy return aborts the drive
-    immediately — the caller sees the partial pool as the last stage and
-    decides what to do with its ragged per-slot radiance. A hook that
-    declares a `snapshot` keyword (or **kwargs) receives a zero-arg
-    callable computing the mid-pass partial image on device —
-    (radiance [c0, 3], counts [c0]) keyed by pixel id, see
-    _snapshot_stages — so progress renders can stream preview frames
-    without 64-spp passes.
+    (progress/cancel/profiling hook); a truthy return stops the pass via
+    FREEZE-AND-DRAIN (see render.drive): issuance stops, every started
+    sample retires, and the stages hold exact retired state — nothing is
+    discarded (reference parity: cancel keeps completed work,
+    mod.rs:1002-1004). `return_result=True` returns the full
+    drive.DriveResult (outcome CANCEL vs PAUSE, pre-freeze quota row for
+    thaw/checkpoint) instead of the legacy tuple. A hook that declares a
+    `snapshot` keyword (or **kwargs) receives a zero-arg callable
+    computing the mid-pass partial image on device — (radiance [c0, 3],
+    counts [c0]) keyed by pixel id, see _snapshot_stages — so progress
+    renders can stream preview frames without 64-spp passes.
 
     narrow_bufs (requires park_k > 0): most cycles resolve only the active
     path + the first `narrow_bufs` parked buffers; every `full_every`-th
@@ -943,8 +972,10 @@ def drive_pool_v2(
     every cycle is mostly dead vector work). None = always full.
 
     sort_lanes: permute the resolve input so blocks become coherent
-    (1 = dead-lane partition, 2 = + candidate-tile-mask grouping; see
+    (1 = dead-lane partition, 2 = + candidate-tile mask grouping; see
     _resolve_sort_order). None reads PT_TPU_RESOLVE_SORT (default 0)."""
+    from path_tracer_tpu.render import drive
+
     if sort_lanes is None:
         sort_lanes = int(os.environ.get("PT_TPU_RESOLVE_SORT", "0"))
     # bind the module constant per drive: a static jit arg, so an A/B that
@@ -969,9 +1000,6 @@ def drive_pool_v2(
             if pool.shape[0] > V2_ROWS else 0
     quota = jnp.int32(k_pass)
     sb = jnp.int32(sample_base)
-    stages = []
-    rays = jnp.float32(0.0)
-    cycle = 0
     # mid-pass work redistribution (PT_TPU_REDIST=0 disables): finished
     # slots adopt the upper halves of laggards' remaining sample ranges at
     # poll cadence, holding bulk occupancy up (see redistribute_samples)
@@ -980,61 +1008,23 @@ def drive_pool_v2(
     # a laggard needs >= 2*min_rem un-issued samples, so a small pass can
     # never redistribute — skip the branch (and its flush stage) entirely
     redist = redist and k_pass >= 2 * redist_min
-    flush = None
     c0 = pool.shape[1]  # flush is keyed by pixel id < npix <= c0
-    # does the hook want mid-pass partial images? (a 'snapshot' kwarg or
-    # **kwargs in its signature opts in; legacy 3-arg hooks are untouched)
-    hook_wants_snapshot = False
-    if on_check is not None:
-        import inspect
-
-        params = inspect.signature(on_check).parameters
-        hook_wants_snapshot = "snapshot" in params or any(
-            p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
-        )
     # stall = unfinished count not decreasing across polls (every cycle
     # advances every unfinished slot by >= 1 segment, so a healthy pool
     # strictly drains); an absolute ceiling backstops the backstop.
     stall_limit, hard_limit = _stall_limits(
         k_pass, max_depth, check_every, full_every,
         narrow=narrow_bufs is not None and bool(park_k))
-    stalled_polls = 0
-    last_u = None
-    while True:
-        unfin = None
-        # small pools cycle in ~2-5 ms, so the ~25 ms poll round-trip
-        # dominates them (measured: w=2048 cycles are 1.75 ms between
-        # polls) — batch more cycles per poll as the pool shrinks;
-        # overshooting a few sub-ms cycles is free. adaptive_polls=False
-        # keeps polls exactly at check_every (tests want every rung hit).
-        w = pool.shape[1]
-        if not adaptive_polls:
-            steps = check_every
-        elif w >= 131072:
-            # big-quota bulk cycles are ~105 ms; halving the poll rate
-            # halves a ~25 ms queue-draining round-trip per ~420 ms
-            steps = (2 if k_pass >= 256 else 1) * check_every
-        elif w >= 16384:
-            steps = 2 * check_every
-        elif w > 2048:
-            steps = 4 * check_every
-        else:
-            steps = 8 * check_every
-        if adaptive_polls and cycle == 0:
-            # provably futile polls: a slot's done count rises by at most
-            # step_cap (cheap deaths) + park_k+1 (resolve deaths) per
-            # cycle, so no slot can retire a k_pass quota before
-            # k_pass/(step_cap+park_k+1) cycles — run that burst unpolled
-            # (each poll is a queue-draining ~25 ms tunnel round-trip).
-            # The progress/cancel hook fires at polls, so cap the burst.
-            per_cycle = (step_cap if step_cap else k_pass * max_depth) \
-                + park_k + 1
-            steps = max(steps, min(k_pass // per_cycle, 16 * check_every))
-        # fusing cycles into one dispatch only pays where dispatch overhead
-        # rivals the cycle (~1.75 ms through the remote-TPU tunnel); on CPU
-        # (tests, interpreter) the fori-wrapped program compiles
-        # pathologically slowly, so stay unfused there
+
+    def run_cycles(pool, cycle, steps):
+        # fusing cycles into one dispatch only pays where dispatch
+        # overhead rivals the cycle (~1.75 ms through the remote-TPU
+        # tunnel); on CPU (tests, interpreter) the fori-wrapped program
+        # compiles pathologically slowly, so stay unfused there
         fuse = jax.default_backend() == "tpu"
+        w = pool.shape[1]
+        rays = jnp.float32(0.0)
+        unfin = None
         done_steps = 0
         while done_steps < steps:
             rem = steps - done_steps
@@ -1078,55 +1068,72 @@ def drive_pool_v2(
             rays = rays + r
             cycle += n
             done_steps += n
+        return pool, rays, unfin
+
+    def poll(unfin):
         u = int(np.asarray(unfin))
-        if on_check is not None:
-            kw = {}
-            if hook_wants_snapshot:
-                sts, fl = tuple(stages) + (pool,), flush
-                kw["snapshot"] = lambda: _snapshot_stages(
-                    sts, fl, out_rows=c0
-                )
-            if on_check(cycle, pool.shape[1], u, **kw):
-                stages.append(pool)  # aborted: partial pool, ragged counts
-                return stages, rays
-        if u == 0:
-            stages.append(pool)
-            if flush is not None:
-                stages.append(_flush_stage(flush))
-            return stages, rays
-        stalled_polls = stalled_polls + 1 if u == last_u else 0
-        last_u = u
-        if stalled_polls >= stall_limit or cycle > hard_limit:
-            raise RuntimeError(
-                f"portal v2 scheduler stalled: {u} slots unfinished "
-                f"after {cycle} cycles ({stalled_polls} polls without "
-                f"progress)"
-            )
+        return u, u
+
+    def compact_fn(pool, u):
         target = None
         for w in sorted(ladder, reverse=True):
             if u <= w < pool.shape[1]:
                 target = w  # smallest ladder width that fits the tail
-        if target is not None:
-            dq = np.asarray(pool[np.array([V2_ROW_DONE, V2_ROW_QUOTA])])
-            idx_np = np.flatnonzero(dq[0] < dq[1]).astype(np.int32)
-            idx = jnp.asarray(
-                np.pad(idx_np, (0, target - len(idx_np)))
-            )
-            valid = jnp.asarray(np.arange(target) < len(idx_np))
-            pool, small = _compact_tail(pool, idx, valid)
-            stages.append(pool)
-            pool = small
-        elif redist and pool.shape[1] - u >= max(
-            2048, pool.shape[1] // 16
-        ):
-            # enough idle lanes to matter and no compaction rung fits yet:
-            # re-task them (a no-op when no laggard has >= 2*min_rem
-            # samples left — the dispatch is cheap at poll cadence)
-            if flush is None:
-                flush = jnp.zeros((c0, 4), jnp.float32)
-            pool, flush, _ = redistribute_samples(
-                pool, flush, redist_min, park_k=park_k
-            )
+        if target is None:
+            return None
+        dq = np.asarray(pool[np.array([V2_ROW_DONE, V2_ROW_QUOTA])])
+        idx_np = np.flatnonzero(dq[0] < dq[1]).astype(np.int32)
+        idx = jnp.asarray(np.pad(idx_np, (0, target - len(idx_np))))
+        valid = jnp.asarray(np.arange(target) < len(idx_np))
+        return _compact_tail(pool, idx, valid)
+
+    res = drive.drive_loop(
+        pool,
+        run_cycles=run_cycles,
+        poll=poll,
+        compact_fn=compact_fn,
+        redistribute_fn=(
+            (lambda p, fl: redistribute_samples(
+                p, fl, redist_min, park_k=park_k)[:2])
+            if redist else None
+        ),
+        new_flush=lambda: jnp.zeros((c0, 4), jnp.float32),
+        snapshot_fn=lambda sts, fl: _snapshot_stages(sts, fl, out_rows=c0),
+        k_pass=k_pass, max_depth=max_depth, step_cap=step_cap,
+        park_k=park_k, check_every=check_every,
+        batch_polls=adaptive_polls, stall_limit=stall_limit,
+        hard_limit=hard_limit, on_check=on_check, cycle0=cycle0,
+    )
+    if return_result:
+        return res
+    stages = list(res.stages)
+    if res.flush is not None:
+        stages.append(_flush_stage(res.flush))
+    return stages, res.rays
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "park_k"))
+def _pool_from_rows(pix, done, quota, *, n_pad: int, park_k: int):
+    """Pool whose first len(pix) slots continue the given per-slot sample
+    ranges [done, quota) (resume from a mid-pass checkpoint / thaw after
+    a pause); the remaining slots are born retired (done == quota == 0,
+    pix 0 — they scatter zero radiance and zero counts)."""
+    m = pix.shape[0]
+    pool = jnp.zeros((pool_rows(park_k), n_pad), jnp.float32)
+    pool = pool.at[ROW_PREV].set(-1.0)
+
+    def row(vals):
+        return jnp.concatenate(
+            [jnp.asarray(vals, jnp.float32),
+             jnp.zeros((n_pad - m,), jnp.float32)]
+        )
+
+    pool = pool.at[V2_ROW_PIX].set(row(pix))
+    pool = pool.at[V2_ROW_DONE].set(row(done))
+    pool = pool.at[V2_ROW_QUOTA].set(row(quota))
+    if park_k:
+        pool = pool.at[V3_ROW_STARTED].set(row(done))
+    return pool
 
 
 def make_portal_pass_runner_v2(
@@ -1137,10 +1144,11 @@ def make_portal_pass_runner_v2(
     k_full: int,
     max_depth: int = 12,
     rr_start_depth: int = 5,
-    check_every: int = 4,
+    check_every: int | None = None,
     width: int | None = None,
     height: int | None = None,
     on_check=None,
+    on_pause=None,
 ):
     """Build the v2 pipeline pass_runner. Each pass gives every pixel-slot a
     quota of k_pass samples; the pool cycles until every slot retires its
@@ -1152,80 +1160,137 @@ def make_portal_pass_runner_v2(
     scene (see PERF.md), kept for sparser freeze patterns.
 
     on_check(cycle, width, unfin): forwarded to drive_pool_v2's poll —
-    the pipeline's mid-pass progress/cancel hook (passes are now up to
-    PORTAL pass-cap spp, so pass boundaries are too coarse for either).
-    A truthy return cancels the pass: its partial ragged radiance is
-    DISCARDED (the framebuffer keeps whole passes only — exact per-pixel
-    counts, parity with the orchestrator's pass accounting) and the
-    runner's .last_cancelled flips for the pipeline to read."""
+    the pipeline's mid-pass progress/cancel/checkpoint hook (passes are
+    up to the PORTAL pass cap spp, so pass boundaries are too coarse for
+    any of them). Return False to continue, truthy to CANCEL, or the
+    string "pause" to request a mid-pass checkpoint. Both stop via
+    freeze-and-drain (render.drive), so every STARTED sample retires and
+    merges exactly:
+
+    - cancel: the retired radiance lands in the returned accum; the
+      runner's .last_cancelled flips and .last_partial_counts holds the
+      exact per-pixel retired counts [npix] for ragged normalization
+      (reference parity: cancel keeps completed work, mod.rs:1002-1004
+      — here at sample granularity, not pixel granularity).
+    - pause: on_pause(accum_merged, (pix, done, quota) slot rows,
+      pass_idx, k_pass) is called to persist the checkpoint; the pass
+      then CONTINUES from the thawed pool in the same call.
+
+    Resume: set .resume_slots = (pix, done, quota) host arrays before the
+    pass call and the pool continues those exact per-slot sample ranges
+    (every remaining sample id rendered exactly once — the finished
+    render is scalar-normalizable as if never interrupted).
+
+    .set_hooks(on_check=..., on_pause=...) rebinds either hook after
+    construction — the pipeline attaches its progress/cancel/checkpoint
+    closures this way, identically for this runner and the sharded one."""
+    if check_every is None:
+        check_every = int(os.environ.get("PT_TPU_CHECK_EVERY", "4"))
     n_pad = _round_block(npix)
+    hooks = {"on_check": on_check, "on_pause": on_pause}
+
+    def set_hooks(on_check=None, on_pause=None):
+        if on_check is not None:
+            hooks["on_check"] = on_check
+        if on_pause is not None:
+            hooks["on_pause"] = on_pause
 
     def pass_runner(scene_bufs, cam, accum, pass_idx, k_pass, base_key):
-        pass_runner.last_cancelled = False
-        cancelled = False
-        hook = None
-        if on_check is not None:
-            import inspect
+        from path_tracer_tpu.render import drive
 
-            params = inspect.signature(on_check).parameters
-            fwd_snap = "snapshot" in params or any(
-                p.kind == inspect.Parameter.VAR_KEYWORD
-                for p in params.values()
-            )
-            if fwd_snap:
-                def hook(cycle, w, unfin, *, snapshot=None):
-                    nonlocal cancelled
-                    if on_check(cycle, w, unfin, snapshot=snapshot):
-                        cancelled = True
-                    return cancelled
-            else:
-                def hook(cycle, w, unfin):
-                    nonlocal cancelled
-                    if on_check(cycle, w, unfin):
-                        cancelled = True
-                    return cancelled
+        pass_runner.last_cancelled = False
+        pass_runner.last_partial_counts = None
         sample_base = pass_idx * k_full
         pass_key = rng.chunk_key(base_key, pass_idx)
         seed0 = (
             jax.random.key_data(pass_key).reshape(-1)[-1].astype(jnp.int32)
         )
+        park_k = _pm_park_k()
 
-        # default row: the Morton relabeling measured NEUTRAL on hardware
-        # (93.6-98.5 vs 96.9 Mray/s, same session) — parked buffers run
-        # 51-77% alive in the bulk phase, so no slot order can produce
-        # all-dead resolve blocks there, and the compaction ladder already
-        # handles the drain. Kept selectable for scenes whose freeze
-        # pattern is sparser (see PERF.md).
-        order_env = os.environ.get("PT_TPU_PIX_ORDER", "row")
-        use_morton = (width is not None and height is not None
-                      and width * height == npix and order_env == "morton")
-        if use_morton:
-            pix_order = morton_pixel_order(width, height)
-        elif order_env == "freeze":
-            pix_order = freeze_pixel_order(portal_key, cam_key)
+        resume = getattr(pass_runner, "resume_slots", None)
+        pass_runner.resume_slots = None
+        if resume is not None:
+            pix_r, done_r, quota_r = (np.asarray(a) for a in resume)
+            w = _round_block(len(pix_r))
+            pool = _pool_from_rows(
+                jnp.asarray(pix_r, jnp.float32),
+                jnp.asarray(done_r, jnp.float32),
+                jnp.asarray(quota_r, jnp.float32),
+                n_pad=w, park_k=park_k,
+            )
         else:
-            pix_order = None
-        pool = make_pool_v2(npix, n_pad, k_pass, pix_order=pix_order)
+            # default row: the Morton relabeling measured NEUTRAL on
+            # hardware (93.6-98.5 vs 96.9 Mray/s, same session) — parked
+            # buffers run 51-77% alive in the bulk phase, so no slot
+            # order can produce all-dead resolve blocks there, and the
+            # compaction ladder already handles the drain. Kept
+            # selectable for scenes whose freeze pattern is sparser.
+            order_env = os.environ.get("PT_TPU_PIX_ORDER", "row")
+            use_morton = (width is not None and height is not None
+                          and width * height == npix
+                          and order_env == "morton")
+            if use_morton:
+                pix_order = morton_pixel_order(width, height)
+            elif order_env == "freeze":
+                pix_order = freeze_pixel_order(portal_key, cam_key)
+            else:
+                pix_order = None
+            pool = make_pool_v2(npix, n_pad, k_pass, park_k=park_k,
+                                pix_order=pix_order)
 
-        stages, rays = drive_pool_v2(
-            pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
-            portal_key=portal_key, cam_key=cam_key, max_depth=max_depth,
-            rr_start_depth=rr_start_depth, check_every=check_every,
-            on_check=hook,
-        )
-        if cancelled:
-            # drop the pass: its slots hold ragged per-pixel sample counts
-            # that cannot merge into the whole-pass framebuffer exactly
-            pass_runner.last_cancelled = True
-            return accum, jnp.float32(0.0)
-        # every stage scatters by its PIX row — slot position is not a
-        # pixel id once redistribution has re-tasked donor slots
-        for st in stages:
-            pix = st[V2_ROW_PIX].astype(jnp.int32)
-            accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
-        return accum, rays
+        rays = jnp.float32(0.0)
+        cycle0 = 0
+        while True:
+            res = drive_pool_v2(
+                pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
+                portal_key=portal_key, cam_key=cam_key,
+                max_depth=max_depth, rr_start_depth=rr_start_depth,
+                check_every=check_every, park_k=park_k,
+                # poll batching is tunnel economics; on CPU (tests,
+                # interpreter) a 16-cycle burst turns a 2-cycle render
+                # into minutes and hides mid-pass polls entirely
+                adaptive_polls=jax.default_backend() == "tpu",
+                on_check=hooks["on_check"], cycle0=cycle0,
+                return_result=True,
+            )
+            rays = rays + res.rays
+            # merge the retired radiance — every stage scatters by its
+            # PIX row (slot position is not a pixel id once
+            # redistribution or a resume has re-tasked slots)
+            stages = list(res.stages)
+            if res.flush is not None:
+                stages.append(_flush_stage(res.flush))
+            for st in stages:
+                pix = st[V2_ROW_PIX].astype(jnp.int32)
+                accum = accum.at[pix].add(st[ROW_ACC:ROW_ACC + 3].T)
+            if res.outcome == drive.DONE:
+                return accum, rays
+            if res.outcome == drive.CANCEL:
+                # exact per-pixel retired counts for the partial image
+                # (acc holds ONLY retired radiance after a drain)
+                _, cnt = _snapshot_stages(
+                    tuple(res.stages), res.flush,
+                    out_rows=max(npix, res.stages[0].shape[1]),
+                )
+                pass_runner.last_cancelled = True
+                pass_runner.last_partial_counts = cnt[:npix]
+                return accum, rays
+            # PAUSE: persist (radiance already merged into accum; the
+            # remaining work is the slot rows), then continue the pass
+            live = res.stages[-1]
+            if hooks["on_pause"] is not None:
+                slot_rows = np.asarray(jnp.stack([
+                    live[V2_ROW_PIX], live[V2_ROW_DONE],
+                    jnp.asarray(res.frozen_quota),
+                ]))
+                hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
+            pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
+            cycle0 = res.cycles
 
     pass_runner.last_cancelled = False
+    pass_runner.last_partial_counts = None
+    pass_runner.resume_slots = None
+    pass_runner.set_hooks = set_hooks
     return pass_runner
 
 

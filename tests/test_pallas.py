@@ -83,7 +83,9 @@ def test_kernel_stepped_equals_megakernel(all_scenes):
     assert float(c12) == float(c3)
 
 
-@pytest.mark.parametrize("sid", ["mesh", "cornell"])
+@pytest.mark.parametrize(
+    "sid", [pytest.param("mesh", marks=pytest.mark.slow), "cornell"]
+)
 def test_sorted_trace_is_a_permutation(all_scenes, sid):
     """trace_pallas_sorted re-sorts the wavefront between bounces; with
     injected uniforms (which ride the permutation) every per-ray estimate
@@ -188,6 +190,7 @@ def test_pretest_kept_when_sphere_does_not_contain_mesh():
     assert bool(hit.found[1])
 
 
+@pytest.mark.slow
 def test_regen_kernels_agree(all_scenes):
     """The two regenerative loops (static-scene v3 and prim-major) implement
     the same sampling semantics; under the interpreter's deterministic PRNG
@@ -224,6 +227,7 @@ def test_regen_kernels_agree(all_scenes):
     np.testing.assert_allclose(float(c3), float(cp), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_regen_runtime_quota(all_scenes):
     """quota is a runtime scalar under a larger static quota_cap: the
     result must be identical to compiling with quota_cap == quota (the

@@ -95,6 +95,7 @@ def test_sharded_exact_spp_ragged(all_scenes):
 
 
 @needs_8
+@pytest.mark.slow
 def test_sharded_regen_exact_spp_ragged(all_scenes):
     """Regen kernels under sharding honor ragged spp via runtime per-shard
     quotas (limit//sp split): spp=7 across sp=2 gives shard quotas (4,3)
@@ -233,6 +234,7 @@ def test_sharded_portal_execution(dp, sp, monkeypatch):
 
 
 @needs_8
+@pytest.mark.slow
 @pytest.mark.parametrize("sp", [1, 2])
 def test_sharded_regen_kernel(all_scenes, sp):
     """backend='pallas' routes the sharded pass through the regenerative
@@ -262,4 +264,79 @@ def test_sharded_regen_kernel(all_scenes, sp):
     dp = 4 // sp
     padded_samples = dp * 2048 * (cfg.samples_per_pixel // sp) * sp
     assert n_samples <= a.stats.num_rays <= padded_samples * cfg.max_depth
+    np.testing.assert_array_equal(px, b.image.pixels)
+
+
+@needs_8
+@pytest.mark.slow
+def test_sharded_portal_redistribution(monkeypatch):
+    """Mid-pass sample redistribution is ACTIVE in sharded pools (the +28%
+    single-chip mechanism, PERF.md 2026-08-19 — round 3 shipped it only in
+    the single-device drive). PT_TPU_REDIST_MIN=1 with spp=4 over sp=2
+    makes per-shard quotas (2,2) redistribution-eligible, and the born-
+    retired padding slots give the drive's idle-lane trigger an immediate
+    donor pool. Exactness under redistribution: depth-1 ray conservation
+    (every one of npix*spp samples traces exactly one segment, wherever
+    its adopted slot ran) and bitwise determinism across runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from path_tracer_tpu.models.scene import pack_scene
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.ops.pallas import trace_v2
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        TILE_META, kernel_scene_buffers,
+    )
+    from path_tracer_tpu.parallel.mesh import (
+        _render_sharded_portal, make_mesh,
+    )
+    from path_tracer_tpu.render import portal as rportal
+    from tests.test_portal import _synthetic_portal_scene
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    monkeypatch.setenv("PT_TPU_REDIST_MIN", "1")
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")  # polls see unfinished slots
+    monkeypatch.setenv("PT_TPU_CHECK_EVERY", "1")
+    fired = {"n": 0}
+    real = rportal.redistribute_samples
+
+    def spy(*a, **kw):
+        fired["n"] += 1  # traced => the drive really entered the path
+        return real(*a, **kw)
+
+    monkeypatch.setattr(rportal, "redistribute_samples", spy)
+
+    scene = _synthetic_portal_scene()
+    res = Resolution.from_height(16)
+    packed = pack_scene(scene)
+    portal = portal_mod.build_portal_consts(packed)
+    assert portal is not None
+    pkey = "portal:test-synth-redist"
+    trace_v2.register_scene(pkey, portal[0])
+    trace_v2.register_scene(
+        f"{pkey}:cam:{res.width}x{res.height}",
+        trace_v2.build_camera_consts(scene.camera, res.width, res.height))
+    kbufs, meta = kernel_scene_buffers(packed, with_meta=True)
+    TILE_META[pkey] = meta
+    mode = f"{pkey}@{res.width}x{res.height}"
+
+    mesh = make_mesh(2, sample_parallel=2)
+    # spp 16 -> per-shard quotas of 8: with step_cap=1 and park_k=1 a
+    # plate-facing slot retires at most ~2 samples per cycle, so several
+    # polls see unfinished slots and the idle-lane trigger (the 1664
+    # born-retired padding slots per device are immediate donors) fires
+    cfg = RenderConfig(samples_per_pixel=16, resolution=res, max_depth=1)
+    npix = res.num_pixels
+    with pltpu.force_tpu_interpret_mode():
+        a = _render_sharded_portal(
+            scene, cfg, mesh=mesh, mode=mode,
+            scene_bufs={"kernel": kbufs}, npix_pad=npix,
+            out_dir=None, verbose=False)
+        b = _render_sharded_portal(
+            scene, cfg, mesh=mesh, mode=mode,
+            scene_bufs={"kernel": kbufs}, npix_pad=npix,
+            out_dir=None, verbose=False)
+    assert fired["n"] > 0  # redistribution really ran in the sharded drive
+    px = a.image.pixels
+    assert np.isfinite(px).all() and px.max() > 0.0
+    assert a.stats.num_rays == 16 * npix  # exact conservation @ depth 1
     np.testing.assert_array_equal(px, b.image.pixels)

@@ -280,6 +280,7 @@ def test_cheap_kernel_freeze_semantics(mesh_packed, portal_consts, all_scenes):
         np.testing.assert_array_equal(dd[frozen0], np.asarray(d)[frozen0])
 
 
+@pytest.mark.slow
 def test_portal_render_end_to_end(all_scenes):
     """Scheduler conservation + depth-1 image parity with the XLA path."""
     from path_tracer_tpu.render import pipeline
@@ -364,6 +365,7 @@ def test_compact_tail_accounting():
     )
 
 
+@pytest.mark.slow
 def test_drive_pool_v2_compaction_equivalence(all_scenes):
     """Tail compaction is radiance-exact for every slot it does NOT move
     (bit-identical to the uncompacted drive — inert lanes are provably
@@ -433,6 +435,7 @@ def test_drive_pool_v2_compaction_equivalence(all_scenes):
     assert abs(accum.mean() - accum0.mean()) < 0.15 * max(accum0.mean(), 1e-6)
 
 
+@pytest.mark.slow
 def test_resolve_const_mat_tiles_bitwise(mesh_packed, monkeypatch):
     """The const-material tile path (8 one-hot reads replaced by first-row
     broadcasts, gated on kernel_scene_buffers' uniformity meta) is BITWISE
@@ -547,7 +550,7 @@ def synth_portal():
 @pytest.mark.parametrize(
     "park_k,resolve_bufs",
     [
-        (1, None),
+        pytest.param(1, None, marks=pytest.mark.slow),
         # production PARK_K=3 with a NARROW resolve (resolve_bufs < park_k):
         # exercises the cross-part read-modify-write of ROW_ACC/V2_ROW_DONE
         # over parts 2..3 AND the untouched-buffer passthrough (part-0 init
@@ -623,6 +626,7 @@ def test_resolve_pool_native_bit_identical(synth_portal, park_k,
         )
 
 
+@pytest.mark.slow
 def test_drive_pool_v2_narrow_resolve(synth_portal):
     """narrow_bufs: cycles that resolve only the active path (+ prefix of
     parked buffers) still retire every sample exactly once and leave no
@@ -698,27 +702,105 @@ def test_drive_pool_v2_on_check_abort(synth_portal):
     assert float(rays_c) < float(rays)
 
 
-def test_portal_pass_runner_v2_mid_pass_cancel(synth_portal):
-    """make_portal_pass_runner_v2 with an on_check that cancels: the pass's
-    partial ragged radiance is DISCARDED (accum unchanged, zero rays) and
-    .last_cancelled flips for the pipeline's pass loop."""
+@pytest.mark.slow
+def test_portal_pass_runner_v2_mid_pass_cancel(synth_portal, monkeypatch):
+    """A mid-pass cancel KEEPS every started sample (freeze-and-drain —
+    reference parity: cancel keeps completed work, mod.rs:1002-1004):
+    .last_cancelled flips, the retired radiance lands in accum, and
+    .last_partial_counts holds EXACT per-pixel retired counts — proven by
+    depth-1 ray conservation (each retired sample traced exactly one
+    segment, so rays == sum(counts))."""
     from path_tracer_tpu.ops import rng
     from path_tracer_tpu.render.portal import make_portal_pass_runner_v2
 
     pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    # step_cap=1: one cheap step per cycle, so the first poll (spp 4)
+    # provably sees unfinished slots — the cancel lands mid-pass
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    spp = 4
     runner = make_portal_pass_runner_v2(
-        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=2,
+        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
         max_depth=1, check_every=1, on_check=lambda c, w, u: True,
     )
     accum = jnp.zeros((npix, 3), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        accum2, rays = runner({"kernel": kbufs}, None, accum, 0, 2,
+        accum2, rays = runner({"kernel": kbufs}, None, accum, 0, spp,
                               rng.root_key(0))
     assert runner.last_cancelled
-    assert float(rays) == 0.0
-    np.testing.assert_array_equal(np.asarray(accum2), np.asarray(accum))
+    cnt = np.asarray(runner.last_partial_counts)
+    assert cnt.shape == (npix,)
+    assert np.all(cnt >= 0) and np.all(cnt <= spp)
+    total = cnt.sum()
+    # mid-pass: some but not all samples retired, and none lost
+    assert 0 < total < npix * spp
+    # depth-1 conservation: every retired sample traced exactly 1 segment
+    assert float(np.asarray(rays)) == total
+    acc = np.asarray(accum2)
+    assert np.isfinite(acc).all() and acc.sum() > 0.0
 
 
+@pytest.mark.slow
+def test_portal_pass_runner_v2_pause_checkpoint_resume(synth_portal,
+                                                       monkeypatch):
+    """Mid-pass checkpoints via freeze-and-drain: a 'pause' verdict drains
+    the pool, hands (accum, slot rows) to on_pause, and CONTINUES the
+    pass; a fresh runner resuming from those slot rows completes the
+    remaining sample ranges so every sample id is rendered exactly once
+    (depth-1 ray conservation across the two runners sums to npix*spp,
+    and per-pixel counts reach exactly spp)."""
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.render.portal import make_portal_pass_runner_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    spp = 4
+    saved = {}
+
+    def on_pause(accum_dev, slot_rows, pass_idx, k_pass):
+        # first pause only (the hook below stops asking after one)
+        saved["accum"] = np.asarray(accum_dev)
+        saved["slots"] = slot_rows
+        saved["pass_idx"] = pass_idx
+
+    def hook(cycle, w, unfin):
+        if "accum" not in saved and unfin > 0:
+            return "pause"
+        return False
+
+    runner = make_portal_pass_runner_v2(
+        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
+        max_depth=1, check_every=1, on_check=hook, on_pause=on_pause,
+    )
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        accum_full, rays_full = runner({"kernel": kbufs}, None, accum, 0,
+                                       spp, rng.root_key(0))
+    assert "accum" in saved  # a pause really happened
+    assert not runner.last_cancelled
+    # the pass CONTINUED after the pause and finished everything
+    assert float(np.asarray(rays_full)) == npix * spp
+
+    # resume a fresh runner from the checkpointed slot rows: it must
+    # complete exactly the remaining samples
+    pix_s, done_s, quota_s = saved["slots"]
+    rem = (quota_s - done_s).sum()
+    assert 0 < rem < npix * spp  # checkpoint landed mid-pass
+    runner2 = make_portal_pass_runner_v2(
+        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
+        max_depth=1, check_every=1,
+    )
+    runner2.resume_slots = (pix_s, done_s, quota_s)
+    with pltpu.force_tpu_interpret_mode():
+        accum_res, rays_res = runner2(
+            {"kernel": kbufs}, None, jnp.asarray(saved["accum"]), 0, spp,
+            rng.root_key(0))
+    # exact sample accounting: checkpointed + resumed == whole pass
+    assert float(np.asarray(rays_res)) == rem
+    acc = np.asarray(accum_res)
+    assert np.isfinite(acc).all() and acc.sum() > 0.0
+
+
+@pytest.mark.slow
 def test_portal_cycles_v2_fused_matches_unfused(synth_portal):
     """portal_cycles_v2 (n cycles in one fori dispatch, the tunnel
     amortization) is bitwise the same pool as n portal_cycle_v2 calls with
@@ -917,6 +999,7 @@ def test_counting_positions_matches_argsort():
 
 
 @pytest.mark.parametrize("sort_mode", [5])
+@pytest.mark.slow
 def test_drive_pool_v2_sorted_resolve(synth_portal, sort_mode):
     """Sorted resolve blocks (mode 5 = counting permutation by nearest
     candidate tile; the argsort modes share the same gather/unsort
@@ -1130,3 +1213,93 @@ def test_drive_pool_v2_snapshot_hook(synth_portal):
                   .T.astype(np.float64))
     np.testing.assert_allclose(np.asarray(rad)[:npix], accum[:npix],
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_pipeline_portal_cancel_keeps_samples(synth_portal, monkeypatch):
+    """Full pipeline: a mid-pass portal cancel produces a partial image
+    normalized by EXACT per-pixel retired counts (freeze-and-drain — no
+    started sample is discarded), with the reference's clamp semantics."""
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    monkeypatch.setenv("PT_TPU_CHECK_EVERY", "1")
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    scene = _synthetic_portal_scene()
+    cfg = RenderConfig(samples_per_pixel=4,
+                       resolution=Resolution.from_height(24), max_depth=1)
+    calls = {"n": 0}
+
+    def cancel():
+        calls["n"] += 1
+        return calls["n"] > 1  # False at the pre-pass check, then cancel
+
+    with pltpu.force_tpu_interpret_mode():
+        done = pt.render(
+            scene, cfg, device_buffers={"kernel": kbufs},
+            device_mode=f"{pkey}@36x24", cancel=cancel,
+            out_dir=None, verbose=False,
+        )
+    assert done.cancelled
+    px = done.image.pixels
+    assert px.shape == (npix, 3)
+    assert np.isfinite(px).all()
+    assert 0.0 <= px.min() and px.max() <= 1.0
+    assert px.max() > 0.0  # retained radiance, not a discarded pass
+    assert done.stats.num_rays > 0
+
+
+@pytest.mark.slow
+def test_pipeline_portal_mid_pass_checkpoint_resume(synth_portal, tmp_path,
+                                                    monkeypatch):
+    """Full pipeline: PT_TPU_CKPT_SECS=0 checkpoints at the first poll
+    (freeze-and-drain, npz carries the per-slot remaining sample ranges);
+    a cancelled run leaves the file; the resumed run completes EXACTLY the
+    remaining samples (depth-1 ray conservation against the npz rows)."""
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    monkeypatch.setenv("PT_TPU_CHECK_EVERY", "1")
+    monkeypatch.setenv("PT_TPU_CKPT_SECS", "0")
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    scene = _synthetic_portal_scene()
+    # spp 32 at step_cap 1: the post-checkpoint continuation provably
+    # cannot finish before its first poll, so the cancel lands mid-pass
+    spp = 32
+    cfg = RenderConfig(samples_per_pixel=spp,
+                       resolution=Resolution.from_height(24), max_depth=1)
+    import os
+
+    ck = str(tmp_path / "mid.npz")
+
+    def cancel():  # cancel as soon as a checkpoint has been written
+        return os.path.exists(ck)
+
+    with pltpu.force_tpu_interpret_mode():
+        done1 = pt.render(
+            scene, cfg, device_buffers={"kernel": kbufs},
+            device_mode=f"{pkey}@36x24", cancel=cancel,
+            checkpoint_path=ck, checkpoint_every=1,
+            out_dir=None, verbose=False,
+        )
+    assert done1.cancelled and os.path.exists(ck)
+    saved = np.load(ck)
+    assert int(saved["mid_pass"]) == 1
+    rem = int((saved["slot_quota"] - saved["slot_done"]).sum())
+    assert 0 < rem < npix * spp  # the checkpoint landed mid-pass
+
+    with pltpu.force_tpu_interpret_mode():
+        done2 = pt.render(
+            scene, cfg, device_buffers={"kernel": kbufs},
+            device_mode=f"{pkey}@36x24",
+            checkpoint_path=ck, checkpoint_every=1,
+            out_dir=None, verbose=False,
+        )
+    assert not done2.cancelled
+    assert not os.path.exists(ck)  # consumed on success
+    # exact conservation: the resume traced exactly the remaining samples
+    assert done2.stats.num_rays == rem
+    px = done2.image.pixels
+    assert np.isfinite(px).all() and px.max() > 0.0
