@@ -405,4 +405,7 @@ def make_sharded_portal_runner(
     pass_runner.last_partial_counts = None
     pass_runner.resume_slots = None
     pass_runner.set_hooks = set_hooks
+    # per-shard quotas/sample bases are positional in the slot rows: a
+    # resume must happen on the SAME mesh topology (see pipeline resume)
+    pass_runner.slot_layout = f"mesh:dp{dp}xsp{sp}:n{n_local}"
     return pass_runner

@@ -446,6 +446,7 @@ def render(
                 seed=config.seed, spp=spp, npix=npix, k=k,
                 num_rays=stats.num_rays,
                 mid_pass=1,
+                slot_layout=getattr(pass_runner, "slot_layout", "single"),
                 slot_pix=slot_rows[0], slot_done=slot_rows[1],
                 slot_quota=slot_rows[2],
             )
@@ -524,6 +525,15 @@ def render(
                 "mid-pass checkpoint needs a portal pass runner "
                 "(backend/scene changed?)"
             )
+        elif mid_pass:
+            # slot rows are POSITIONAL (per-shard quotas and sample-base
+            # offsets live in slot positions) — a different pool topology
+            # would silently corrupt the sample accounting
+            want = getattr(pass_runner, "slot_layout", "single")
+            got = str(ck["slot_layout"]) if "slot_layout" in ck.files \
+                else "single"
+            if got != want:
+                mismatches.append(f"slot layout {got} != {want}")
         if not mismatches:
             accum = host_to_accum(ck["accum"])
             samples_done = int(ck["samples_done"])

@@ -1291,6 +1291,9 @@ def make_portal_pass_runner_v2(
     pass_runner.last_partial_counts = None
     pass_runner.resume_slots = None
     pass_runner.set_hooks = set_hooks
+    # mid-pass checkpoints are POSITIONAL slot rows; the layout tag guards
+    # a resume against a different pool topology (see pipeline resume)
+    pass_runner.slot_layout = "single"
     return pass_runner
 
 
