@@ -65,6 +65,21 @@ def main():
         )
         print(lines[-1], flush=True)
 
+    lines += [
+        "",
+        f"Measured {time.strftime('%Y-%m-%d')} in one warm process "
+        "(scripts/bench_all.py, 2nd-best of 4 timed renders per row; "
+        "cross-session tunnel drift is ±8%, see CLAUDE.md). mesh rides "
+        "the portal v2 scheduler (render/portal.py) with BIG passes, "
+        "batched termination polls, pool-native resolve and mid-pass "
+        "sample redistribution — the 1024-spp row is ONE pass "
+        "(steady-state headline); the 64-spp row pays the full pool "
+        "drain tail on a ~4 s render. Small-scene rows (walls of "
+        "~0.15 s) are bounded by fixed per-render host/tunnel overhead, "
+        "not the kernel (single-sphere kernel-only measures ~2.9 "
+        "Gsam/s); treat them as lower bounds, and see PERF.md's fusion "
+        "A/B for the per-scene dispatch economics.",
+    ]
     with open("BENCH_ALL.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote BENCH_ALL.md")
