@@ -13,7 +13,7 @@ deterministic for a fixed (seed, chunking, mesh topology).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable
 
 import jax
@@ -47,6 +47,7 @@ def make_mesh(num_devices: int = 0, sample_parallel: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]).reshape(dp, sp), axis_names=("dp", "sp"))
 
 
+@lru_cache(maxsize=64)
 def make_sharded_pass(
     mesh: Mesh,
     *,
@@ -58,6 +59,11 @@ def make_sharded_pass(
     mode: str = "fast",
 ) -> Callable:
     """Build a pass runner shard_map'ed over the mesh.
+
+    lru-cached (the runner is stateless): a fresh ``jax.jit`` per render
+    would re-trace and re-load every compiled program from the persistent
+    cache on each call — the bug that cost the sharded PORTAL runner 8.7x
+    on hardware until 2026-08-21 (see parallel.portal._device_fns).
 
     Signature matches pipeline.render's pass_runner:
     (scene_bufs, cam, accum, pass_idx, k_pass, base_key) -> (accum, rays).

@@ -74,40 +74,30 @@ def _pool_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, ("dp", "sp")))
 
 
-def make_sharded_portal_runner(
+@functools.lru_cache(maxsize=32)
+def _device_fns(
     mesh: Mesh,
-    *,
     portal_key: str,
     cam_key: str,
     npix: int,
-    k_full: int,
-    max_depth: int = 12,
-    rr_start_depth: int = 5,
-    check_every: int | None = None,
-    on_check: Callable | None = None,
-    on_pause: Callable | None = None,
-) -> Callable:
-    """Build a pipeline pass_runner that drives one v2 pool per device.
+    max_depth: int,
+    rr_start_depth: int,
+    park_k: int,
+):
+    """The jitted device callables of the sharded portal runner, cached by
+    (mesh, scene, shape) so repeated renders REUSE compiled programs.
 
-    Signature matches pipeline.render's pass_runner:
-    (scene_bufs, cam, accum, pass_idx, k_pass, base_key) -> (accum, rays);
-    accum is [npix_pad, 3] sharded P("dp", None). k_full is the FULL pass
-    size; any k_pass <= k_full (ragged remainders included) rides the same
-    compiled programs as runtime quotas.
-
-    on_check(cycle, width, unfin) is the mid-pass progress/cancel poll
-    hook (see render.drive): falsy continues, truthy CANCELs, "pause"
-    requests a mid-pass checkpoint. Both stop via freeze-and-drain, so
-    every started sample retires and merges exactly — .last_cancelled /
-    .last_partial_counts / on_pause / .resume_slots behave exactly as in
-    render.portal.make_portal_pass_runner_v2 (the slot rows are global,
-    positionally device-mapped; a resume needs the same mesh shape)."""
-    if check_every is None:
-        check_every = int(os.environ.get("PT_TPU_CHECK_EVERY", "4"))
+    These were local defs of make_sharded_portal_runner until 2026-08-21:
+    a fresh ``jax.jit`` object per render meant every pool width of the
+    compaction ladder was re-traced and re-loaded from the persistent
+    compile cache on EVERY render — measured 28 vs 244.8 Mray/s plain on
+    the mesh headline (8.7x; scripts/trace_drive.py shows the identical
+    cycle schedule with 12-36 s stalls at each width transition, and
+    scripts/profile_sharded_cycle.py shows the shard_map'd cycle itself
+    is byte-for-byte as fast as the plain one)."""
     dp = mesh.shape["dp"]
     sp = mesh.shape["sp"]
     ndev = dp * sp
-    park_k = rportal._pm_park_k()
     rows = pool_rows(park_k)
     npix_local = -(-npix // dp)
     n_local = rportal._round_block(npix_local)
@@ -257,6 +247,64 @@ def make_sharded_portal_runner(
         needed). Once per stage per pass, so off the hot path."""
         pix = stage[V2_ROW_PIX].astype(jnp.int32)
         return accum.at[pix].add(stage[ROW_ACC:ROW_ACC + 3].T)
+
+    import types
+
+    return types.SimpleNamespace(
+        dp=dp, sp=sp, ndev=ndev, rows=rows, npix_local=npix_local,
+        n_local=n_local, sharding=sharding, flush_sharding=flush_sharding,
+        make_pool=make_pool, cycle=cycle, compact=compact,
+        redistribute=redistribute, scatter_stage=scatter_stage,
+        flush_pix_map=_flush_pix_map,
+    )
+
+
+def make_sharded_portal_runner(
+    mesh: Mesh,
+    *,
+    portal_key: str,
+    cam_key: str,
+    npix: int,
+    k_full: int,
+    max_depth: int = 12,
+    rr_start_depth: int = 5,
+    check_every: int | None = None,
+    on_check: Callable | None = None,
+    on_pause: Callable | None = None,
+) -> Callable:
+    """Build a pipeline pass_runner that drives one v2 pool per device.
+
+    Signature matches pipeline.render's pass_runner:
+    (scene_bufs, cam, accum, pass_idx, k_pass, base_key) -> (accum, rays);
+    accum is [npix_pad, 3] sharded P("dp", None). k_full is the FULL pass
+    size; any k_pass <= k_full (ragged remainders included) rides the same
+    compiled programs as runtime quotas.
+
+    The device callables come from the lru-cached _device_fns, so
+    repeated renders (and repeated runner constructions) reuse compiled
+    programs — the runner itself only holds per-render mutable state
+    (hooks, resume slots, cancel results).
+
+    on_check(cycle, width, unfin) is the mid-pass progress/cancel poll
+    hook (see render.drive): falsy continues, truthy CANCELs, "pause"
+    requests a mid-pass checkpoint. Both stop via freeze-and-drain, so
+    every started sample retires and merges exactly — .last_cancelled /
+    .last_partial_counts / on_pause / .resume_slots behave exactly as in
+    render.portal.make_portal_pass_runner_v2 (the slot rows are global,
+    positionally device-mapped; a resume needs the same mesh shape)."""
+    if check_every is None:
+        check_every = int(os.environ.get("PT_TPU_CHECK_EVERY", "4"))
+    park_k = rportal._pm_park_k()
+    fns = _device_fns(
+        mesh, portal_key, cam_key, npix, max_depth, rr_start_depth, park_k
+    )
+    dp, sp, ndev = fns.dp, fns.sp, fns.ndev
+    rows, n_local = fns.rows, fns.n_local
+    npix_local = fns.npix_local
+    sharding, flush_sharding = fns.sharding, fns.flush_sharding
+    make_pool, cycle, compact = fns.make_pool, fns.cycle, fns.compact
+    redistribute, scatter_stage = fns.redistribute, fns.scatter_stage
+    _flush_pix_map = fns.flush_pix_map
 
     hooks = {"on_check": on_check, "on_pause": on_pause}
 
