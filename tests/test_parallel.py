@@ -31,6 +31,35 @@ def test_mesh_shapes():
 
 
 @needs_8
+def test_sharded_device_fns_are_cached():
+    """jit identity IS a cache key on hardware: building a sharded runner
+    (or pass) twice must return the SAME jitted callables, or every
+    render re-traces and re-loads every compiled program — the 8.7x
+    sharded-portal slowdown of 2026-08-21 (PERF.md). Guards the lru_cache
+    on parallel.portal._device_fns and parallel.mesh.make_sharded_pass."""
+    from path_tracer_tpu.parallel.mesh import make_sharded_pass
+    from path_tracer_tpu.parallel.portal import _device_fns
+
+    mesh = make_mesh(2, sample_parallel=1)
+    a = _device_fns(mesh, "portal:idcheck", "portal:idcheck:cam:4x4",
+                    16, 12, 5, 3)
+    b = _device_fns(mesh, "portal:idcheck", "portal:idcheck:cam:4x4",
+                    16, 12, 5, 3)
+    assert a is b
+    assert a.cycle is b.cycle and a.compact is b.compact
+    # a different mesh topology must NOT share programs
+    c = _device_fns(make_mesh(2, sample_parallel=2), "portal:idcheck",
+                    "portal:idcheck:cam:4x4", 16, 12, 5, 3)
+    assert c is not a
+
+    p1 = make_sharded_pass(mesh, width=24, height=16, k_full=4, mode="fast")
+    p2 = make_sharded_pass(mesh, width=24, height=16, k_full=4, mode="fast")
+    assert p1 is p2
+    assert make_sharded_pass(mesh, width=24, height=16, k_full=8,
+                             mode="fast") is not p1
+
+
+@needs_8
 @pytest.mark.parametrize("sp", [1, 2, 4])
 def test_sharded_render_runs(all_scenes, sp):
     done = render_sharded(
