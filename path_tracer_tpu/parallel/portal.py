@@ -332,6 +332,12 @@ def make_sharded_portal_runner(
 
         resume = getattr(pass_runner, "resume_slots", None)
         pass_runner.resume_slots = None
+        # checkpointed cycle counter: continue the per-cycle PRNG seed
+        # schedule instead of replaying the seeds that generated the
+        # already-banked samples (see render.portal's resume_cycle0)
+        resume_cycle0 = int(getattr(pass_runner, "resume_cycle0", 0) or 0) \
+            if resume is not None else 0
+        pass_runner.resume_cycle0 = None
         if resume is not None:
             pix_r, done_r, quota_r = (np.asarray(a) for a in resume)
             w = len(pix_r)
@@ -365,7 +371,12 @@ def make_sharded_portal_runner(
         # per-shard quotas are ~k_pass/sp; a laggard needs >= 2*min_rem
         # un-issued samples for a split to be worth a donor's warm-up
         redist = redist and (k_pass // max(sp, 1)) >= 2 * redist_min
-        nf_local = pool.shape[1] // ndev
+        # flush credits are keyed by LOCAL pixel id (< npix_local), so
+        # each device's flush slice must cover its full pixel tile even
+        # when the pool is narrower (thawed after a pause, or a resume
+        # from a compacted checkpoint) — sized to the pool width, a
+        # credit for a high local pixel would scatter out of bounds
+        nf_local = n_local
         flush_pix = jnp.asarray(_flush_pix_map(nf_local))
 
         def run_cycles(pool, cycle_idx, steps):
@@ -395,13 +406,19 @@ def make_sharded_portal_runner(
             return compact(pool, target=target)
 
         rays = jnp.float32(0.0)
-        cycle0 = 0
+        cycle0 = resume_cycle0
+        # counts of stages merged-and-discarded at PAUSEs of this pass
+        # (same carry as the single-device runner — see render.portal)
+        cnt_pass = None
+        fp = flush_pix
+
+        def snapshot_fn(sts, fl):
+            return rportal._with_cnt_base(
+                rportal._snapshot_stages(sts, fl, fp, out_rows=npix),
+                cnt_pass,
+            )
+
         while True:
-            # each drive's flush is sized to its entry pool width — the
-            # row->pixel map follows (trash rows only accumulate zeros)
-            nf = pool.shape[1] // ndev
-            fp = flush_pix if nf == nf_local \
-                else jnp.asarray(_flush_pix_map(nf))
             res = drive.drive_loop(
                 pool,
                 run_cycles=run_cycles,
@@ -411,12 +428,11 @@ def make_sharded_portal_runner(
                     (lambda p, fl: redistribute(p, fl, min_rem=redist_min))
                     if redist else None
                 ),
-                new_flush=lambda nf=nf: jax.device_put(
-                    jnp.zeros((ndev * nf, 4), jnp.float32), flush_sharding
+                new_flush=lambda: jax.device_put(
+                    jnp.zeros((ndev * nf_local, 4), jnp.float32),
+                    flush_sharding
                 ),
-                snapshot_fn=lambda sts, fl, fp=fp: rportal._snapshot_stages(
-                    sts, fl, fp, out_rows=npix
-                ),
+                snapshot_fn=snapshot_fn,
                 k_pass=k_pass, max_depth=max_depth, step_cap=step_cap,
                 park_k=park_k, check_every=check_every,
                 batch_polls=batch_polls, stall_limit=stall_limit,
@@ -435,16 +451,24 @@ def make_sharded_portal_runner(
                 _, cnt = rportal._snapshot_stages(
                     tuple(res.stages), res.flush, fp, out_rows=npix
                 )
+                if cnt_pass is not None:
+                    cnt = cnt + cnt_pass[:npix]
                 pass_runner.last_cancelled = True
                 pass_runner.last_partial_counts = cnt[:npix]
                 return accum, rays
-            # PAUSE: persist (radiance already merged), thaw, continue
+            # PAUSE: persist (radiance already merged), thaw, continue.
+            # Carry the discarded stages' retired counts (the live pool's
+            # done rows survive the thaw and are counted next drive).
             live = res.stages[-1]
+            delta = rportal._retired_counts(
+                tuple(res.stages[:-1]), res.flush, fp, out_rows=npix
+            )
+            cnt_pass = delta if cnt_pass is None else cnt_pass + delta
             if hooks["on_pause"] is not None:
-                slot_rows = np.asarray(jnp.stack([
-                    live[V2_ROW_PIX], live[V2_ROW_DONE],
-                    jnp.asarray(res.frozen_quota),
-                ]))
+                pass_runner.last_pause_cycles = res.cycles
+                slot_rows = drive.drained_slot_state(
+                    live, res.frozen_quota, filter_remaining=False
+                )
                 hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
             pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
             cycle0 = res.cycles
@@ -452,7 +476,12 @@ def make_sharded_portal_runner(
     pass_runner.last_cancelled = False
     pass_runner.last_partial_counts = None
     pass_runner.resume_slots = None
+    pass_runner.resume_cycle0 = None
+    pass_runner.last_pause_cycles = 0
     pass_runner.set_hooks = set_hooks
+    # progress denominator: sp shards duplicate every pixel's slot, so
+    # the unfinished-slot poll counts sp*npix real slots at pass start
+    pass_runner.total_slots = sp * npix
     # per-shard quotas/sample bases are positional in the slot rows: a
     # resume must happen on the SAME mesh topology (see pipeline resume)
     pass_runner.slot_layout = f"mesh:dp{dp}xsp{sp}:n{n_local}"

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from path_tracer_tpu.ops.pallas.portal import (
-    ROW_PREV, V2_ROW_DONE, V2_ROW_PIX, V2_ROW_QUOTA, V3_ROW_STARTED,
+    ROW_ALIVE, ROW_PREV, V2_ROW_DONE, V2_ROW_PIX, V2_ROW_QUOTA,
+    V3_ROW_STARTED,
 )
 
 #: outcome values of a drive
@@ -71,8 +72,20 @@ def freeze_issuance(pool, *, park_k: int):
     """Stop sample issuance: per-slot quota := samples already started.
     Paths in flight (active or parked) still run to retirement, so a
     subsequent drain leaves done == started == quota for every slot that
-    had issued work, and done == quota for the rest."""
-    started = pool[V3_ROW_STARTED] if park_k else pool[V2_ROW_DONE]
+    had issued work, and done == quota for the rest.
+
+    park_k == 0 pools have no STARTED row, but the one possible in-flight
+    sample is visible as ROW_ALIVE — it must count as started, or the
+    post-freeze poll reads the slot as finished while its path (and its
+    partial ROW_ACC accumulation) is still running: a cancel would merge
+    that partial radiance with no matching count, and a thaw would
+    re-render the sample on top of it."""
+    if park_k:
+        started = pool[V3_ROW_STARTED]
+    else:
+        started = pool[V2_ROW_DONE] + (pool[ROW_ALIVE] > 0.0).astype(
+            jnp.float32
+        )
     return pool.at[V2_ROW_QUOTA].set(
         jnp.minimum(pool[V2_ROW_QUOTA], started)
     )
@@ -252,15 +265,19 @@ def drive_loop(
             pool, flush = redistribute_fn(pool, flush)
 
 
-def drained_slot_state(pool, frozen_quota):
-    """(pix, done, quota) host arrays of slots with samples left after a
-    freeze-and-drain — the checkpointable remainder of the pass. Each
-    slot's un-issued range is [done, quota)."""
+def drained_slot_state(pool, frozen_quota, *, filter_remaining: bool = True):
+    """(pix, done, quota) host arrays of a drained pool — the
+    checkpointable remainder of the pass; each slot's un-issued range is
+    [done, quota). filter_remaining drops already-finished slots (smaller
+    checkpoints); the SHARDED runner must keep every slot positionally
+    (filter_remaining=False): its resume maps slot position -> device."""
     rows = np.asarray(
         jnp.stack([
             pool[V2_ROW_PIX], pool[V2_ROW_DONE],
             jnp.asarray(frozen_quota),
         ])
     )
+    if not filter_remaining:
+        return rows[0], rows[1], rows[2]
     rem = rows[1] < rows[2]
     return rows[0][rem], rows[1][rem], rows[2][rem]

@@ -358,6 +358,13 @@ def render(
         # 64/512/1024-spp passes measured 119/161/176 Mray/s on the
         # mesh headline (PERF.md) — the drain amortizes with pass size
         regen_cap = int(os.environ.get("PT_TPU_PORTAL_PASS_CAP", "1024"))
+        if (os.environ.get("PT_TPU_PORTAL_V1")
+                and checkpoint_path and checkpoint_every):
+            # the v1 runner has no set_hooks, so mid-pass checkpoints
+            # (and mid-pass cancel) cannot attach — keep the legacy
+            # 64-spp passes so pass-BOUNDARY checkpoints still fire;
+            # a 1024-spp single pass would checkpoint nothing at all
+            regen_cap = min(regen_cap, 64)
     if config.samples_per_pass:
         k = config.samples_per_pass
         if regen_cap:
@@ -425,7 +432,10 @@ def render(
 
         def portal_hook(cycle, w, unfin, *, snapshot=None):
             if progress is not None:
-                frac = 1.0 - min(unfin / npix, 1.0)
+                # unfin counts SLOTS: npix for the single-device pool,
+                # sp*npix for a sharded one (sp shards duplicate pixels)
+                denom = getattr(pass_runner, "total_slots", npix)
+                frac = 1.0 - min(unfin / denom, 1.0)
                 maybe_progress(extra_samples=frac * current_k_pass,
                                snapshot=snapshot)
             if cancel is not None and cancel():
@@ -437,7 +447,13 @@ def render(
         def save_mid_pass(accum_dev, slot_rows, pass_idx, k_pass):
             # accum_dev already holds every retired sample's radiance;
             # slot_rows = (pix, done, quota) describe the remaining
-            # per-slot sample ranges [done, quota) — see render.drive
+            # per-slot sample ranges [done, quota) — see render.drive.
+            # Drain the completed passes' ray-count handles first: they
+            # are fetched lazily, and a checkpoint written from the bare
+            # counter would resume with near-zero num_rays. (The current
+            # pass's pre-pause rays are not recoverable — the runner owns
+            # them until the pass returns — so num_rays is a floor.)
+            drain_rays()
             np.savez(
                 checkpoint_path,
                 accum=accum_to_host(accum_dev),
@@ -446,6 +462,9 @@ def render(
                 seed=config.seed, spp=spp, npix=npix, k=k,
                 num_rays=stats.num_rays,
                 mid_pass=1,
+                # cycle counter at the freeze: a resume continues the
+                # per-cycle PRNG seed schedule instead of replaying it
+                cycle0=int(getattr(pass_runner, "last_pause_cycles", 0)),
                 slot_layout=getattr(pass_runner, "slot_layout", "single"),
                 slot_pix=slot_rows[0], slot_done=slot_rows[1],
                 slot_quota=slot_rows[2],
@@ -546,6 +565,12 @@ def render(
                 # scalar-normalizable as if never interrupted
                 pass_runner.resume_slots = (
                     ck["slot_pix"], ck["slot_done"], ck["slot_quota"]
+                )
+                # continue the interrupted pass's cycle counter so the
+                # per-cycle PRNG seeds never replay (old checkpoints
+                # without the field get a disjoint 2^20 offset instead)
+                pass_runner.resume_cycle0 = (
+                    int(ck["cycle0"]) if "cycle0" in ck.files else 1 << 20
                 )
             if verbose:
                 print(f"Resumed from {checkpoint_path} at {samples_done}/{spp} spp"

@@ -772,6 +772,40 @@ def _snapshot_stages(stages, flush, flush_pix=None, *, out_rows: int):
     return rad, cnt
 
 
+def _with_cnt_base(rad_cnt, cnt_base):
+    """Add a pass-local retired-count carry to a snapshot's counts.
+    cnt_base holds the counts of stages merged-and-discarded at earlier
+    PAUSEs of the same pass (their radiance already sits in accum, which
+    previews add — without the carry those pixels normalize short and
+    blow out). None = no pause happened yet."""
+    if cnt_base is None:
+        return rad_cnt
+    rad, cnt = rad_cnt
+    return rad, cnt + cnt_base[: cnt.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows",))
+def _retired_counts(stages, flush, flush_pix=None, *, out_rows: int):
+    """Per-pixel retired-sample counts of a drive's RETIRED stages (the
+    compaction stages, NOT the final live pool) plus the flush credits —
+    the counts that vanish when a PAUSE merges those stages into accum
+    and discards them. Only done >= quota rows count (done < quota slots
+    were compaction-moved and live on in a later stage); the live pool's
+    done rows survive the thaw and are counted by the NEXT drive."""
+    cnt = jnp.zeros((out_rows,), jnp.float32)
+    for st in stages:
+        pix = st[V2_ROW_PIX].astype(jnp.int32)
+        done = jnp.where(st[V2_ROW_DONE] >= st[V2_ROW_QUOTA],
+                         st[V2_ROW_DONE], 0.0)
+        cnt = cnt.at[pix].add(done)
+    if flush is not None:
+        if flush_pix is None:
+            cnt = cnt.at[: flush.shape[0]].add(flush[:, 3])
+        else:
+            cnt = cnt.at[jnp.asarray(flush_pix, jnp.int32)].add(flush[:, 3])
+    return cnt
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _compact_tail(pool, idx, valid):
     """Gather slots idx of `pool` into a smaller pool and zero their acc in
@@ -939,6 +973,8 @@ def drive_pool_v2(
     sort_lanes: int | None = None,
     cycle0: int = 0,
     return_result: bool = False,
+    npix: int | None = None,
+    cnt_base=None,
 ):
     """Cycle a pixel-pinned pool until every slot retires its quota,
     compacting the unfinished tail down the width `ladder` as it shrinks.
@@ -1008,7 +1044,12 @@ def drive_pool_v2(
     # a laggard needs >= 2*min_rem un-issued samples, so a small pass can
     # never redistribute — skip the branch (and its flush stage) entirely
     redist = redist and k_pass >= 2 * redist_min
-    c0 = pool.shape[1]  # flush is keyed by pixel id < npix <= c0
+    # flush/snapshot buffers are keyed by GLOBAL pixel id, so they must
+    # cover npix even when the pool itself is narrower (a thawed pool
+    # after a mid-pass pause, or a resume from a compacted checkpoint —
+    # sized to the pool width, a redistribution credit for a high pixel
+    # id would scatter out of bounds and corrupt/drop radiance)
+    c0 = max(pool.shape[1], npix) if npix is not None else pool.shape[1]
     # stall = unfinished count not decreasing across polls (every cycle
     # advances every unfinished slot by >= 1 segment, so a healthy pool
     # strictly drains); an absolute ceiling backstops the backstop.
@@ -1098,7 +1139,9 @@ def drive_pool_v2(
             if redist else None
         ),
         new_flush=lambda: jnp.zeros((c0, 4), jnp.float32),
-        snapshot_fn=lambda sts, fl: _snapshot_stages(sts, fl, out_rows=c0),
+        snapshot_fn=lambda sts, fl: _with_cnt_base(
+            _snapshot_stages(sts, fl, out_rows=c0), cnt_base
+        ),
         k_pass=k_pass, max_depth=max_depth, step_cap=step_cap,
         park_k=park_k, check_every=check_every,
         batch_polls=adaptive_polls, stall_limit=stall_limit,
@@ -1209,6 +1252,11 @@ def make_portal_pass_runner_v2(
 
         resume = getattr(pass_runner, "resume_slots", None)
         pass_runner.resume_slots = None
+        # checkpointed cycle counter (pipeline sets it from the npz): the
+        # per-cycle seeds continue where the interrupted run stopped
+        resume_cycle0 = int(getattr(pass_runner, "resume_cycle0", 0) or 0) \
+            if resume is not None else 0
+        pass_runner.resume_cycle0 = None
         if resume is not None:
             pix_r, done_r, quota_r = (np.asarray(a) for a in resume)
             w = _round_block(len(pix_r))
@@ -1239,7 +1287,16 @@ def make_portal_pass_runner_v2(
                                 pix_order=pix_order)
 
         rays = jnp.float32(0.0)
-        cycle0 = 0
+        # resume from a checkpoint continues the saved cycle counter so
+        # the per-cycle PRNG seeds (seed0 + 2*cycle + 1) never replay the
+        # schedule that generated the already-banked samples — replayed
+        # seeds on the same lane layout would duplicate camera jitter and
+        # path randoms of earlier samples (correlated, not independent)
+        cycle0 = resume_cycle0
+        # per-pixel retired counts of stages merged-and-discarded at
+        # PAUSEs of this pass (their radiance is in accum; without this
+        # carry a later cancel/preview normalizes those pixels short)
+        cnt_pass = None
         while True:
             res = drive_pool_v2(
                 pool, k_pass, sample_base, seed0, scene_bufs["kernel"],
@@ -1251,7 +1308,7 @@ def make_portal_pass_runner_v2(
                 # into minutes and hides mid-pass polls entirely
                 adaptive_polls=jax.default_backend() == "tpu",
                 on_check=hooks["on_check"], cycle0=cycle0,
-                return_result=True,
+                return_result=True, npix=npix, cnt_base=cnt_pass,
             )
             rays = rays + res.rays
             # merge the retired radiance — every stage scatters by its
@@ -1267,22 +1324,33 @@ def make_portal_pass_runner_v2(
                 return accum, rays
             if res.outcome == drive.CANCEL:
                 # exact per-pixel retired counts for the partial image
-                # (acc holds ONLY retired radiance after a drain)
+                # (acc holds ONLY retired radiance after a drain) — plus
+                # the counts carried over earlier pauses of this pass
                 _, cnt = _snapshot_stages(
                     tuple(res.stages), res.flush,
                     out_rows=max(npix, res.stages[0].shape[1]),
                 )
+                if cnt_pass is not None:
+                    cnt = cnt.at[: npix].add(cnt_pass[:npix])
                 pass_runner.last_cancelled = True
                 pass_runner.last_partial_counts = cnt[:npix]
                 return accum, rays
             # PAUSE: persist (radiance already merged into accum; the
-            # remaining work is the slot rows), then continue the pass
+            # remaining work is the slot rows), then continue the pass.
+            # The final live pool's done rows survive the thaw (the next
+            # drive counts them); only the discarded compaction stages'
+            # counts and the flush credits need carrying.
             live = res.stages[-1]
+            delta = _retired_counts(
+                tuple(res.stages[:-1]), res.flush,
+                out_rows=max(npix, live.shape[1]),
+            )[:npix]
+            cnt_pass = delta if cnt_pass is None else cnt_pass + delta
             if hooks["on_pause"] is not None:
-                slot_rows = np.asarray(jnp.stack([
-                    live[V2_ROW_PIX], live[V2_ROW_DONE],
-                    jnp.asarray(res.frozen_quota),
-                ]))
+                pass_runner.last_pause_cycles = res.cycles
+                slot_rows = drive.drained_slot_state(
+                    live, res.frozen_quota, filter_remaining=False
+                )
                 hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
             pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
             cycle0 = res.cycles
@@ -1290,7 +1358,12 @@ def make_portal_pass_runner_v2(
     pass_runner.last_cancelled = False
     pass_runner.last_partial_counts = None
     pass_runner.resume_slots = None
+    pass_runner.resume_cycle0 = None
+    pass_runner.last_pause_cycles = 0
     pass_runner.set_hooks = set_hooks
+    # progress denominator: unfinished-slot polls count real slots (the
+    # sharded runner has sp duplicates per pixel — see its total_slots)
+    pass_runner.total_slots = npix
     # mid-pass checkpoints are POSITIONAL slot rows; the layout tag guards
     # a resume against a different pool topology (see pipeline resume)
     pass_runner.slot_layout = "single"

@@ -159,3 +159,131 @@ def test_drive_stall_detection():
 
     with pytest.raises(RuntimeError, match="stalled"):
         _drive(_fake_pool(), stuck, stall_limit=3)
+
+
+def test_freeze_issuance_counts_inflight_without_parking():
+    """park_k == 0 pools have no STARTED row; the in-flight path is
+    visible only as ROW_ALIVE. freeze_issuance must count it as started
+    — freezing quota to DONE alone would report the slot finished while
+    its partial ROW_ACC radiance is still accumulating (merged with no
+    matching count on cancel; re-rendered on top after a thaw)."""
+    from path_tracer_tpu.ops.pallas.portal import ROW_ALIVE
+
+    pool = _fake_pool(n=4, quota=4)
+    pool = pool.at[V2_ROW_DONE].set(jnp.asarray([1.0, 1.0, 4.0, 0.0]))
+    pool = pool.at[ROW_ALIVE].set(jnp.asarray([1.0, 0.0, 0.0, 1.0]))
+    frozen = drive.freeze_issuance(pool, park_k=0)
+    # slot 0: 1 done + 1 in flight -> quota 2; slot 1: idle -> 1;
+    # slot 2: already finished -> 4; slot 3: first sample in flight -> 1
+    np.testing.assert_array_equal(
+        np.asarray(frozen[V2_ROW_QUOTA]), [2.0, 1.0, 4.0, 1.0]
+    )
+
+
+def _scripted_runner(monkeypatch, results):
+    """A portal pass runner whose drive_pool_v2 is a scripted fake:
+    returns the given DriveResults in order, recording each call's
+    cycle0. Pins the runner<->drive wiring (count carry across pauses,
+    cycle-counter resume) without any kernel execution."""
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.render import portal as rportal
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 0)
+    seen = {"cycle0": []}
+    it = iter(results)
+
+    def fake_drive(pool, *a, **kw):
+        seen["cycle0"].append(kw.get("cycle0", 0))
+        return next(it)
+
+    monkeypatch.setattr(rportal, "drive_pool_v2", fake_drive)
+    runner = rportal.make_portal_pass_runner_v2(
+        portal_key="portal:fake", cam_key="portal:fake:cam", npix=8,
+        k_full=4, max_depth=1,
+    )
+    return runner, seen
+
+
+def _stage(pix, done, quota, acc=0.0, n=None):
+    n = n or len(pix)
+    st = jnp.zeros((V2_ROWS, n), jnp.float32)
+    st = st.at[V2_ROW_PIX].set(jnp.asarray(pix, jnp.float32))
+    st = st.at[V2_ROW_DONE].set(jnp.asarray(done, jnp.float32))
+    st = st.at[V2_ROW_QUOTA].set(jnp.asarray(quota, jnp.float32))
+    from path_tracer_tpu.ops.pallas.portal import ROW_ACC
+
+    st = st.at[ROW_ACC].set(float(acc))
+    return st
+
+
+def test_cancel_after_pause_carries_discarded_stage_counts(monkeypatch):
+    """A cancel AFTER a mid-pass pause must still count the samples whose
+    stages were merged-and-discarded at the pause: their radiance is in
+    accum, so dropping their counts would over-normalize those pixels
+    into blow-out (review r4 finding #1). Scripted drive: pause with a
+    retired compaction stage (pixels 0-3, 2 samples each) + live pool
+    (pixels 4-7), then cancel with the continued live pool."""
+    from path_tracer_tpu.ops import rng
+
+    pause = drive.DriveResult(
+        stages=[
+            _stage([0, 1, 2, 3], [2] * 4, [2] * 4, acc=1.0),
+            _stage([4, 5, 6, 7], [1] * 4, [1] * 4),
+        ],
+        rays=jnp.float32(12.0), flush=None, outcome=drive.PAUSE,
+        cycles=7, frozen_quota=jnp.asarray([4.0] * 4),
+    )
+    cancel = drive.DriveResult(
+        stages=[_stage([4, 5, 6, 7], [2] * 4, [2] * 4, acc=0.5)],
+        rays=jnp.float32(4.0), flush=None, outcome=drive.CANCEL,
+        cycles=11, frozen_quota=jnp.asarray([4.0] * 4),
+    )
+    runner, seen = _scripted_runner(monkeypatch, [pause, cancel])
+    paused = {}
+    runner.set_hooks(
+        on_check=lambda c, w, u: False,
+        on_pause=lambda acc, rows, pi, kp: paused.update(rows=rows),
+    )
+    accum = jnp.zeros((8, 3), jnp.float32)
+    accum2, rays = runner({"kernel": {}}, None, accum, 0, 4,
+                          rng.root_key(0))
+    assert runner.last_cancelled
+    cnt = np.asarray(runner.last_partial_counts)
+    # pixels 0-3 retired 2 each BEFORE the pause (the discarded stage);
+    # 4-7 retired 2 each by cancel time — ALL must be counted
+    np.testing.assert_array_equal(cnt, [2.0] * 8)
+    # both drives' radiance merged exactly once
+    acc = np.asarray(accum2)
+    np.testing.assert_allclose(acc[:4, 0], 1.0)
+    np.testing.assert_allclose(acc[4:, 0], 0.5)
+    assert float(np.asarray(rays)) == 16.0
+    # the pause handed positional slot rows + cycle counter to on_pause
+    assert runner.last_pause_cycles == 7
+    assert len(paused["rows"]) == 3
+    # the continuation threaded the drive's cycle counter forward
+    assert seen["cycle0"] == [0, 7]
+
+
+def test_resume_continues_cycle_counter(monkeypatch):
+    """Resume from a mid-pass checkpoint must continue the saved cycle
+    counter: cycle seeds are seed0 + 2*cycle + 1 and the kernels' PRNG
+    draws are keyed by them, so restarting at 0 would replay the exact
+    random schedule that produced the already-banked samples (review r4
+    finding #3)."""
+    from path_tracer_tpu.ops import rng
+
+    done_res = drive.DriveResult(
+        stages=[_stage([0, 1], [4, 4], [4, 4])],
+        rays=jnp.float32(8.0), flush=None, outcome=drive.DONE,
+        cycles=900, frozen_quota=None,
+    )
+    runner, seen = _scripted_runner(monkeypatch, [done_res])
+    runner.resume_slots = (
+        np.asarray([0.0, 1.0]), np.asarray([2.0, 2.0]),
+        np.asarray([4.0, 4.0]),
+    )
+    runner.resume_cycle0 = 777
+    accum = jnp.zeros((8, 3), jnp.float32)
+    runner({"kernel": {}}, None, accum, 0, 4, rng.root_key(0))
+    assert seen["cycle0"] == [777]
+    assert runner.resume_cycle0 is None  # consumed, not sticky
