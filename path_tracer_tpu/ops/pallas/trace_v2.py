@@ -436,6 +436,125 @@ def build_camera_consts(camera, width: int, height: int) -> tuple:
     )
 
 
+def _host_scene_hit(prims, o, d):
+    """Vectorized numpy closest-hit of probe rays against the static prim
+    tuple (the same geometry make_prim_scan bakes into the kernel) —
+    openness probing only, so bounding-sphere gates and prev-exclusion
+    are skipped and the self-hit epsilon is coarse. Returns
+    (t [n] with inf = miss, unit normal [n,3], color [n,3])."""
+    n = o.shape[0]
+    best_t = np.full(n, np.inf)
+    best_n = np.zeros((n, 3))
+    best_c = np.zeros((n, 3))
+    eps = 1e-3
+    for p in prims:
+        if p[0] == "s":
+            _, c, r2, color, _, _ = p
+            oc = np.asarray(c)[None] - o
+            b = np.sum(oc * d, axis=1)
+            det = b * b - np.sum(oc * oc, axis=1) + r2
+            sq = np.sqrt(np.maximum(det, 0.0))
+            t = np.where(b - sq >= eps, b - sq,
+                         np.where(b + sq >= eps, b + sq, np.inf))
+            t = np.where(det >= 0.0, t, np.inf)
+            better = t < best_t
+            if better.any():
+                pt = o + np.where(better, t, 0.0)[:, None] * d
+                nn = pt - np.asarray(c)[None]
+                nn /= np.maximum(
+                    np.linalg.norm(nn, axis=1, keepdims=True), 1e-30)
+                best_n = np.where(better[:, None], nn, best_n)
+                best_c = np.where(better[:, None],
+                                  np.asarray(color)[None], best_c)
+                best_t = np.where(better, t, best_t)
+        else:
+            kind, a, e1, e2, _, nu, color = p[0], *map(np.asarray, p[1:7])
+            pv = np.cross(d, e2[None])
+            det = pv @ e1
+            ok = np.abs(det) >= EPS_TRI_DET
+            inv = 1.0 / np.where(ok, det, 1.0)
+            tv = o - a[None]
+            u = np.sum(tv * pv, axis=1) * inv
+            qv = np.cross(tv, e1[None])
+            v = np.sum(qv * d, axis=1) * inv
+            t = (qv @ e2) * inv
+            hi = (v <= 1.0) if kind == "q" else (u + v <= 1.0)
+            t = np.where(ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & hi
+                         & (t > eps), t, np.inf)
+            better = t < best_t
+            best_t = np.where(better, t, best_t)
+            best_n = np.where(better[:, None], nu[None], best_n)
+            best_c = np.where(better[:, None], color[None], best_c)
+    return best_t, best_n, best_c
+
+
+@functools.lru_cache(maxsize=64)
+def probe_loop_style(prims, cam_consts, max_depth: int,
+                     rr_start_depth: int) -> str:
+    """Pick the regen loop style from the scene's EXPECTED PATH LENGTH,
+    not its prim count: a true early-exit while loop wins when most
+    samples die within a bounce or two (open scenes — rays escape to the
+    sky); enclosed scenes (walls on every side → paths run to RR/depth)
+    pipeline better as fori+cond. A prim-count proxy mispicks enclosed
+    few-prim scenes (a 6-wall box) and open many-prim ones.
+
+    Host Monte-Carlo probe at kernel-build time (~1 ms, lru-cached on
+    the baked consts): trace diffuse-bounce paths from the real camera
+    through the real prim geometry with the renderer's RR schedule
+    (survival = max color component from rr_start_depth, parity with
+    shade_phase) and measure mean traced segments per path. Deliberately
+    approximate — mirrors/refraction treated as diffuse, bounding gates
+    skipped — the probe only picks a loop style, and both styles are
+    exact; the fixed seed keeps the pick (a static compile flag) stable
+    across processes."""
+    rng_ = np.random.default_rng(0)
+    n = 512
+    so, su, sv, lens = (np.asarray(cam_consts[k], np.float64)
+                        for k in range(4))
+    sx = rng_.uniform(-0.5, 0.5, n)
+    sy = rng_.uniform(-0.5, 0.5, n)
+    sensor = so[None] + su[None] * sx[:, None] + sv[None] * sy[:, None]
+    d = lens[None] - sensor
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = np.broadcast_to(lens, d.shape).astype(np.float64).copy()
+    alive = np.ones(n, bool)
+    segments = 0.0
+    for depth in range(max_depth):
+        segments += alive.sum()
+        t, nrm, col = _host_scene_hit(prims, o, d)
+        hit = np.isfinite(t) & alive
+        if depth + 1 >= rr_start_depth:
+            hit &= rng_.uniform(size=n) < col.max(axis=1)
+        alive = hit
+        if not alive.any():
+            break
+        # dead lanes carry inf t; pin them so the (ignored) bounce math
+        # below stays finite instead of spraying numpy warnings
+        t = np.where(alive, t, 0.0)
+        nrm = np.where(alive[:, None], nrm, np.array([0.0, 0.0, 1.0])[None])
+        o = o + t[:, None] * d
+        nrm = np.where((np.sum(nrm * d, axis=1) < 0.0)[:, None], nrm, -nrm)
+        # cosine-hemisphere bounce about the oriented normal
+        u1 = rng_.uniform(size=n)
+        u2 = rng_.uniform(size=n)
+        r = np.sqrt(u1)
+        phi = 2.0 * np.pi * u2
+        w = nrm
+        a_ = np.where((np.abs(w[:, 0]) > 0.1)[:, None],
+                      np.array([0.0, 1.0, 0.0])[None],
+                      np.array([1.0, 0.0, 0.0])[None])
+        uvec = np.cross(a_, w)
+        uvec /= np.maximum(np.linalg.norm(uvec, axis=1, keepdims=True),
+                           1e-30)
+        vvec = np.cross(w, uvec)
+        d = (uvec * (r * np.cos(phi))[:, None]
+             + vvec * (r * np.sin(phi))[:, None]
+             + w * np.sqrt(np.maximum(1.0 - u1, 0.0))[:, None])
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+    mean_len = segments / n
+    return "while" if mean_len <= 0.35 * max_depth else "fori"
+
+
 def _make_kernel_v3(consts, cam_consts, L, quota_cap, max_depth, rr_start_depth):
     """Regenerative static-scene kernel on (SUB, L) lanes: a thin wrapper
     around the shared trace_kernel.regen_loop with this module's static
@@ -444,11 +563,10 @@ def _make_kernel_v3(consts, cam_consts, L, quota_cap, max_depth, rr_start_depth)
 
     prims, bnd = consts
     prim_scan = make_prim_scan(prims, bnd)
-    # open few-primitive scenes: most samples die within a bounce or two, so
-    # a true early-exit while loop beats fori+cond; enclosed scenes (walls →
-    # long paths) pipeline better with fori. _LOOP_OVERRIDE is a tuning knob
-    # for benchmarking the choice.
-    loop = _LOOP_OVERRIDE or ("while" if len(prims) <= 8 else "fori")
+    # loop style from measured expected path length (see probe_loop_style);
+    # _LOOP_OVERRIDE is a tuning knob for benchmarking the choice.
+    loop = _LOOP_OVERRIDE or probe_loop_style(
+        prims, cam_consts, max_depth, rr_start_depth)
 
     def kernel(seed_ref, pix_ref, rad_ref, count_ref):
         pltpu.prng_seed(

@@ -466,9 +466,7 @@ def make_sharded_portal_runner(
             cnt_pass = delta if cnt_pass is None else cnt_pass + delta
             if hooks["on_pause"] is not None:
                 pass_runner.last_pause_cycles = res.cycles
-                slot_rows = drive.drained_slot_state(
-                    live, res.frozen_quota, filter_remaining=False
-                )
+                slot_rows = drive.drained_slot_state(live, res.frozen_quota)
                 hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
             pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
             cycle0 = res.cycles

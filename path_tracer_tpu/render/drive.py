@@ -265,19 +265,18 @@ def drive_loop(
             pool, flush = redistribute_fn(pool, flush)
 
 
-def drained_slot_state(pool, frozen_quota, *, filter_remaining: bool = True):
+def drained_slot_state(pool, frozen_quota):
     """(pix, done, quota) host arrays of a drained pool — the
     checkpointable remainder of the pass; each slot's un-issued range is
-    [done, quota). filter_remaining drops already-finished slots (smaller
-    checkpoints); the SHARDED runner must keep every slot positionally
-    (filter_remaining=False): its resume maps slot position -> device."""
+    [done, quota). ALL slots are kept, positionally: the sharded resume
+    maps slot position -> device, and even the single-device resume must
+    restore finished slots' done counts — a cancel DURING a resumed pass
+    normalizes per-pixel counts from the live pool's done rows, so
+    dropping done == quota rows would normalize those pixels short."""
     rows = np.asarray(
         jnp.stack([
             pool[V2_ROW_PIX], pool[V2_ROW_DONE],
             jnp.asarray(frozen_quota),
         ])
     )
-    if not filter_remaining:
-        return rows[0], rows[1], rows[2]
-    rem = rows[1] < rows[2]
-    return rows[0][rem], rows[1][rem], rows[2][rem]
+    return rows[0], rows[1], rows[2]

@@ -427,8 +427,11 @@ def render(
         mid_ckpt = bool(checkpoint_path and checkpoint_every)
         ck_state = {"t": time.monotonic()}
         # cadence in seconds (checkpoint_every counts passes, but a big
-        # portal pass IS the render — time is the usable granularity)
-        ck_secs = float(os.environ.get("PT_TPU_CKPT_SECS", "60"))
+        # portal pass IS the render — time is the usable granularity).
+        # 15 s is measured FREE on hardware: 231.8 vs 234.7 Mray/s
+        # hookless (-1.2%, inside run variance; 6 s costs -15%) — see
+        # PERF.md 2026-08-20 / scripts/bench_checkpoint.py.
+        ck_secs = float(os.environ.get("PT_TPU_CKPT_SECS", "15"))
 
         def portal_hook(cycle, w, unfin, *, snapshot=None):
             if progress is not None:
@@ -558,6 +561,7 @@ def render(
             samples_done = int(ck["samples_done"])
             pass_start = int(ck["next_pass"])
             stats.num_rays = int(ck["num_rays"])
+            stats.resumed_samples = samples_done
             if mid_pass:
                 # resume INTO pass `pass_start`: the runner continues the
                 # saved per-slot sample ranges, so every remaining sample

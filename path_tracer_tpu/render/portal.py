@@ -781,7 +781,12 @@ def _with_cnt_base(rad_cnt, cnt_base):
     if cnt_base is None:
         return rad_cnt
     rad, cnt = rad_cnt
-    return rad, cnt + cnt_base[: cnt.shape[0]]
+    # cnt may be WIDER than cnt_base: single-device snapshots use
+    # out_rows = max(pool_width, npix) while the carry is [npix]-shaped
+    # (any npix that is not a CHEAP_BLOCK multiple, e.g. 450x300).
+    # Scatter-add over the overlap instead of slice-adding.
+    n = min(cnt.shape[0], cnt_base.shape[0])
+    return rad, cnt.at[:n].add(cnt_base[:n])
 
 
 @functools.partial(jax.jit, static_argnames=("out_rows",))
@@ -1348,9 +1353,7 @@ def make_portal_pass_runner_v2(
             cnt_pass = delta if cnt_pass is None else cnt_pass + delta
             if hooks["on_pause"] is not None:
                 pass_runner.last_pause_cycles = res.cycles
-                slot_rows = drive.drained_slot_state(
-                    live, res.frozen_quota, filter_remaining=False
-                )
+                slot_rows = drive.drained_slot_state(live, res.frozen_quota)
                 hooks["on_pause"](accum, slot_rows, pass_idx, k_pass)
             pool = drive.thaw_pool(live, res.frozen_quota, park_k=park_k)
             cycle0 = res.cycles

@@ -134,6 +134,8 @@ def _render_job(job: dict, send, scene_dir: str, mesh_dir: str,
         "num_rays": s.num_rays,
         "msamples_per_sec": s.msamples_per_sec,
         "mrays_per_sec": s.mrays_per_sec,
+        # per-pixel samples restored from a checkpoint (0 = fresh render)
+        "resumed_samples": s.resumed_samples,
     }
 
 

@@ -50,6 +50,9 @@ class RenderStats:
     num_samples: int = 0  # camera samples (pixels x spp)
     num_rays: int = 0  # traced ray segments (sum of alive lanes per bounce)
     num_dispatches: int = 0
+    # per-pixel samples restored from a checkpoint (0 = fresh render);
+    # the observable proof a render RESUMED instead of restarting
+    resumed_samples: int = 0
     extra: dict = field(default_factory=dict)
 
     @property

@@ -369,3 +369,152 @@ def test_sharded_portal_redistribution(monkeypatch):
     assert np.isfinite(px).all() and px.max() > 0.0
     assert a.stats.num_rays == 16 * npix  # exact conservation @ depth 1
     np.testing.assert_array_equal(px, b.image.pixels)
+
+
+def _register_synth_portal(tag, res):
+    """Register the synthetic 72-tri scene under a test-local portal key
+    (same machinery as pipeline.prepare_scene_and_mode) and return
+    (scene, pkey, cam_key, kernel bufs, npix)."""
+    from path_tracer_tpu.models.scene import pack_scene
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.ops.pallas import trace_v2
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        TILE_META, kernel_scene_buffers,
+    )
+    from tests.test_portal import _synthetic_portal_scene
+
+    scene = _synthetic_portal_scene()
+    packed = pack_scene(scene)
+    portal = portal_mod.build_portal_consts(packed)
+    assert portal is not None
+    pkey = f"portal:test-synth-{tag}"
+    trace_v2.register_scene(pkey, portal[0])
+    cam_key = f"{pkey}:cam:{res.width}x{res.height}"
+    trace_v2.register_scene(cam_key, trace_v2.build_camera_consts(
+        scene.camera, res.width, res.height))
+    kbufs, meta = kernel_scene_buffers(packed, with_meta=True)
+    TILE_META[pkey] = meta
+    return scene, pkey, cam_key, kbufs, res.num_pixels
+
+
+@needs_8
+@pytest.mark.slow
+def test_sharded_portal_mid_pass_cancel(monkeypatch):
+    """Sharded freeze-and-drain cancel END-TO-END with real kernels
+    (VERDICT r4 #2 — the sharded mirror of
+    test_portal.test_portal_pass_runner_v2_mid_pass_cancel): a mid-pass
+    cancel on a 2-device mesh KEEPS every started sample (reference
+    parity: cancel keeps completed work, mod.rs:1002-1004) —
+    .last_cancelled flips, the retired radiance lands in the sharded
+    accum, and .last_partial_counts holds EXACT per-pixel retired counts,
+    proven by depth-1 ray conservation across both devices."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.parallel.portal import make_sharded_portal_runner
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")  # first poll sees unfinished
+    scene, pkey, cam_key, kbufs, npix = _register_synth_portal(
+        "shcancel", Resolution.from_height(24))
+    spp = 4
+    mesh = make_mesh(2, sample_parallel=1)
+    runner = make_sharded_portal_runner(
+        mesh, portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
+        max_depth=1, check_every=1, on_check=lambda c, w, u: True,
+    )
+    sharding = NamedSharding(mesh, P("dp", None))
+    accum = jax.device_put(jnp.zeros((npix, 3), jnp.float32), sharding)
+    with pltpu.force_tpu_interpret_mode():
+        accum2, rays = runner({"kernel": kbufs}, None, accum, 0, spp,
+                              rng.root_key(0))
+    assert runner.last_cancelled
+    cnt = np.asarray(runner.last_partial_counts)
+    assert cnt.shape == (npix,)
+    assert np.all(cnt >= 0) and np.all(cnt <= spp)
+    total = cnt.sum()
+    assert 0 < total < npix * spp  # mid-pass: some but not all retired
+    # depth-1 conservation: every retired sample traced exactly 1 segment,
+    # wherever (either device) it ran
+    assert float(np.asarray(rays)) == total
+    acc = np.asarray(accum2)
+    assert np.isfinite(acc).all() and acc.sum() > 0.0
+
+
+@needs_8
+@pytest.mark.slow
+@pytest.mark.parametrize("dp,sp", [(2, 1), (1, 2)])
+def test_sharded_portal_pause_checkpoint_resume(dp, sp, monkeypatch):
+    """Sharded mid-pass checkpoints END-TO-END with real kernels
+    (VERDICT r4 #2 — the sharded mirror of
+    test_portal.test_portal_pass_runner_v2_pause_checkpoint_resume): a
+    'pause' verdict freeze-and-drains both device pools, hands
+    positionally device-mapped (pix, done, quota) slot rows to on_pause,
+    and CONTINUES; a fresh runner on the SAME mesh topology resuming
+    from those rows completes exactly the remaining sample ranges
+    (depth-1 conservation: checkpointed + resumed == whole pass). The
+    sp=2 case exercises the per-shard quota-split rows through a
+    checkpoint+resume round trip. With the interpreter PRNG stub all
+    uniform draws are 0, so the resumed accumulation must also EQUAL the
+    uninterrupted pass's up to scatter order."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.ops.pallas import portal as portal_mod
+    from path_tracer_tpu.parallel.portal import make_sharded_portal_runner
+
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    scene, pkey, cam_key, kbufs, npix = _register_synth_portal(
+        f"shck{dp}{sp}", Resolution.from_height(24))
+    # per-SHARD quota of 4: smaller quotas (spp=4 over sp=2 -> 2/shard)
+    # can finish inside the first poll window, so no pause ever lands
+    spp = 4 * sp
+    mesh = make_mesh(dp * sp, sample_parallel=sp)
+    saved = {}
+
+    def on_pause(accum_dev, slot_rows, pass_idx, k_pass):
+        saved.setdefault("accum", np.asarray(accum_dev))
+        saved.setdefault("slots", slot_rows)
+
+    def hook(cycle, w, unfin):
+        if "accum" not in saved and unfin > 0:
+            return "pause"
+        return False
+
+    kw = dict(portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
+              max_depth=1, check_every=1)
+    runner = make_sharded_portal_runner(
+        mesh, on_check=hook, on_pause=on_pause, **kw)
+    sharding = NamedSharding(mesh, P("dp", None))
+    accum = jax.device_put(jnp.zeros((npix, 3), jnp.float32), sharding)
+    with pltpu.force_tpu_interpret_mode():
+        accum_full, rays_full = runner({"kernel": kbufs}, None, accum, 0,
+                                       spp, rng.root_key(0))
+    assert "accum" in saved  # a pause really happened
+    assert not runner.last_cancelled
+    # the pass CONTINUED after the pause and finished everything
+    assert float(np.asarray(rays_full)) == npix * spp
+
+    pix_s, done_s, quota_s = saved["slots"]
+    rem = (quota_s - done_s).sum()
+    assert 0 < rem < npix * spp  # the checkpoint landed mid-pass
+    runner2 = make_sharded_portal_runner(mesh, **kw)
+    assert runner2.slot_layout == runner.slot_layout  # resume guard key
+    runner2.resume_slots = (pix_s, done_s, quota_s)
+    accum_saved = jax.device_put(jnp.asarray(saved["accum"]), sharding)
+    with pltpu.force_tpu_interpret_mode():
+        accum_res, rays_res = runner2({"kernel": kbufs}, None, accum_saved,
+                                      0, spp, rng.root_key(0))
+    # exact sample accounting: checkpointed + resumed == whole pass
+    assert float(np.asarray(rays_res)) == rem
+    acc = np.asarray(accum_res)
+    assert np.isfinite(acc).all() and acc.sum() > 0.0
+    # zero-stub determinism: identical radiance up to scatter order
+    np.testing.assert_allclose(acc, np.asarray(accum_full), rtol=1e-5,
+                               atol=1e-7)

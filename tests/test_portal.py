@@ -800,6 +800,75 @@ def test_portal_pass_runner_v2_pause_checkpoint_resume(synth_portal,
     assert np.isfinite(acc).all() and acc.sum() > 0.0
 
 
+def test_with_cnt_base_wider_snapshot():
+    """Regression (ADVICE r4): the pause-carry add must tolerate a
+    snapshot wider than the carry — single-device snapshots are
+    out_rows = max(pool_width, npix) while the carry is [npix]. Any npix
+    that is not a CHEAP_BLOCK multiple (e.g. the GUI default 450x300)
+    hits this; the old slice-add raised TypeError."""
+    from path_tracer_tpu.render import portal as rportal
+
+    c0, npix = 2048, 864
+    rad = jnp.zeros((c0, 3), jnp.float32)
+    cnt = jnp.ones((c0,), jnp.float32)
+    base = jnp.full((npix,), 2.0, jnp.float32)
+    rad2, cnt2 = rportal._with_cnt_base((rad, cnt), base)
+    assert cnt2.shape == (c0,)
+    np.testing.assert_array_equal(np.asarray(cnt2[:npix]), 3.0)
+    np.testing.assert_array_equal(np.asarray(cnt2[npix:]), 1.0)
+    np.testing.assert_array_equal(np.asarray(rad2), np.asarray(rad))
+    # equal widths (the sharded runner's shape) still work
+    _, cnt3 = rportal._with_cnt_base(
+        (rad[:npix], cnt[:npix]), base)
+    np.testing.assert_array_equal(np.asarray(cnt3), 3.0)
+
+
+@pytest.mark.slow
+def test_portal_snapshot_after_pause_nonblock_npix(synth_portal,
+                                                   monkeypatch):
+    """End-to-end regression (ADVICE r4): a progress snapshot taken AFTER
+    a mid-pass pause, with the pool wider than npix, must not crash and
+    must include the pause carry (pixels retired before the pause do not
+    normalize short). The synth fixture has npix=864 < n_pad=2048 — the
+    same non-block-multiple-shape mismatch as 450x300 with checkpointing
+    plus progress previews."""
+    from path_tracer_tpu.ops import rng
+    from path_tracer_tpu.render.portal import make_portal_pass_runner_v2
+
+    pkey, cam_key, kbufs, npix, n_pad = synth_portal
+    assert n_pad > npix  # the shape-mismatch precondition under test
+    monkeypatch.setenv("PT_TPU_STEP_CAP", "1")
+    spp = 4
+    state = {"paused": False, "snaps": []}
+
+    def on_pause(accum_dev, slot_rows, pass_idx, k_pass):
+        state["paused"] = True
+
+    def hook(cycle, w, unfin, *, snapshot=None):
+        if not state["paused"] and unfin > 0:
+            return "pause"
+        if state["paused"] and snapshot is not None:
+            state["snaps"].append(snapshot())
+        return False
+
+    runner = make_portal_pass_runner_v2(
+        portal_key=pkey, cam_key=cam_key, npix=npix, k_full=spp,
+        max_depth=1, check_every=1, on_check=hook, on_pause=on_pause,
+    )
+    accum = jnp.zeros((npix, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        accum2, rays = runner({"kernel": kbufs}, None, accum, 0, spp,
+                              rng.root_key(0))
+    assert state["paused"] and state["snaps"]
+    assert float(np.asarray(rays)) == npix * spp  # pass still completed
+    rad, cnt = state["snaps"][-1]
+    cnt = np.asarray(cnt)
+    # the final snapshot (unfin == 0) must show the FULL quota on every
+    # pixel — stages retired after the pause plus the carried counts
+    np.testing.assert_array_equal(cnt[:npix], float(spp))
+    assert np.asarray(rad).shape[0] == cnt.shape[0]
+
+
 @pytest.mark.slow
 def test_portal_cycles_v2_fused_matches_unfused(synth_portal):
     """portal_cycles_v2 (n cycles in one fori dispatch, the tunnel

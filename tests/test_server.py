@@ -75,6 +75,46 @@ def test_daemon_checkpointed_job(daemon, tmp_path):
     assert not os.path.exists(ck)
 
 
+def test_daemon_resumes_checkpointed_job(daemon, tmp_path):
+    """A daemon job pointed at a checkpoint left by an interrupted render
+    RESUMES it instead of restarting from zero (the preemption-recovery
+    story end-to-end: interrupt -> resubmit -> exact completion). Proof:
+    the resumed job traces strictly fewer rays than the identical
+    uncheckpointed job — at least the checkpointed samples_done * npix
+    fewer (each sample traces >= 1 ray) — and cleans up the file."""
+    import numpy as np
+
+    import path_tracer_tpu as pt
+    from path_tracer_tpu.utils.config import RenderConfig, Resolution
+
+    job = {"scene": "two-spheres", "spp": 64, "res_y": 24,
+           "samples_per_pass": 4}
+    full = server.submit(dict(job), socket_path=daemon)
+    assert full["done"] and full["resumed_samples"] == 0
+
+    # interrupt a checkpointed render after its first checkpoint lands
+    ck = str(tmp_path / "resume.ck.npz")
+    scene = pt.load_scene("two-spheres", "scenes")
+    cfg = RenderConfig(samples_per_pixel=64,
+                       resolution=Resolution.from_height(24),
+                       samples_per_pass=4)
+    pt.render(scene, cfg, checkpoint_path=ck, checkpoint_every=1,
+              cancel=lambda: os.path.exists(ck), out_dir=None,
+              verbose=False)
+    assert os.path.exists(ck)
+    done0 = int(np.load(ck)["samples_done"])
+    assert 0 < done0 < 64
+
+    reply = server.submit({**job, "checkpoint": ck, "checkpoint_every": 1},
+                          socket_path=daemon)
+    assert reply["done"] and not reply["cancelled"]
+    assert reply["resumed_samples"] == done0  # resumed, not restarted
+    # a resume restores the interrupted render's ray count, so the total
+    # must equal the uncheckpointed job's (per-pass seeds deterministic)
+    assert reply["num_rays"] == full["num_rays"]
+    assert not os.path.exists(ck)  # completed renders clean up
+
+
 @pytest.fixture
 def isolated_daemon(tmp_path, monkeypatch):
     """Daemon with the worker-subprocess watchdog (isolate=True). The worker
