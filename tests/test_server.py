@@ -79,9 +79,10 @@ def test_daemon_resumes_checkpointed_job(daemon, tmp_path):
     """A daemon job pointed at a checkpoint left by an interrupted render
     RESUMES it instead of restarting from zero (the preemption-recovery
     story end-to-end: interrupt -> resubmit -> exact completion). Proof:
-    the resumed job traces strictly fewer rays than the identical
-    uncheckpointed job — at least the checkpointed samples_done * npix
-    fewer (each sample traces >= 1 ray) — and cleans up the file."""
+    the reply's resumed_samples equals the checkpoint's samples_done
+    (num_rays alone cannot discriminate — a resume RESTORES the
+    interrupted render's ray count, so totals match the full job), and
+    the completed job cleans up the file."""
     import numpy as np
 
     import path_tracer_tpu as pt
