@@ -357,7 +357,11 @@ def make_sharded_portal_runner(
         else:
             pool = make_pool(kq)
 
-        ladder = tuple(w for w in DEV_TAIL_LADDER if w < n_local)
+        # ndev == 1 (a Mesh(1,1) run on one chip): the halved-top rationale
+        # of DEV_TAIL_LADDER does not apply — use the full single-device
+        # ladder so the drain matches the plain runner's width tracking
+        src_ladder = rportal.TAIL_LADDER if ndev == 1 else DEV_TAIL_LADDER
+        ladder = tuple(w for w in src_ladder if w < n_local)
         stall_limit, hard_limit = rportal._stall_limits(
             k_pass, max_depth, check_every, 1, narrow=False
         )
@@ -367,9 +371,10 @@ def make_sharded_portal_runner(
         # a 32-cycle burst turns a 2-cycle test render into hours
         batch_polls = jax.default_backend() == "tpu"
         redist = os.environ.get("PT_TPU_REDIST", "1") != "0"
-        redist_min = int(os.environ.get("PT_TPU_REDIST_MIN", "16"))
         # per-shard quotas are ~k_pass/sp; a laggard needs >= 2*min_rem
         # un-issued samples for a split to be worth a donor's warm-up
+        # (min scaled to the quota — see render.portal._redist_min)
+        redist_min = rportal._redist_min(k_pass // max(sp, 1))
         redist = redist and (k_pass // max(sp, 1)) >= 2 * redist_min
         # flush credits are keyed by LOCAL pixel id (< npix_local), so
         # each device's flush slice must cover its full pixel tile even

@@ -206,17 +206,31 @@ def drive_loop(
     last_u = None
     wants_snapshot = hook_wants_snapshot(on_check)
     first_poll = True
+    # PIPELINED POLLS (batch_polls implies a remote device whose poll
+    # fetch costs a ~25 ms round-trip): keep ONE un-polled cycle batch
+    # enqueued beyond the batch being polled, so the device runs through
+    # every poll RTT instead of idling on it. Safe because an unfinished
+    # count is MONOTONE non-increasing: acting on a one-batch-stale u is
+    # always conservative (a compaction rung that fits the stale count
+    # fits the current one; the u == 0 exit implies the current pool is
+    # also drained; cycles past the drain issue nothing and count zero
+    # rays). A stop verdict freezes the LATEST pool — one batch more of
+    # issuance, every started sample still retires and merges exactly.
+    inflight: list = []  # un-polled unfinished-count handles, oldest first
     while True:
-        steps = poll_steps(
-            pool.shape[1], k_pass=k_pass, check_every=check_every,
-            first=first_poll, step_cap=step_cap, park_k=park_k,
-            max_depth=max_depth, batch_polls=batch_polls,
-        )
-        first_poll = False
-        pool, r, unfin_raw = run_cycles(pool, cycle, steps)
-        rays = rays + r
-        cycle += steps
-        u, u_ladder = poll(unfin_raw)
+        want = 2 if (batch_polls and draining is None) else 1
+        while len(inflight) < want:
+            steps = poll_steps(
+                pool.shape[1], k_pass=k_pass, check_every=check_every,
+                first=first_poll, step_cap=step_cap, park_k=park_k,
+                max_depth=max_depth, batch_polls=batch_polls,
+            )
+            first_poll = False
+            pool, r, unfin_raw = run_cycles(pool, cycle, steps)
+            rays = rays + r
+            cycle += steps
+            inflight.append(unfin_raw)
+        u, u_ladder = poll(inflight.pop(0))
         if draining is None and on_check is not None:
             kw = {}
             if wants_snapshot and snapshot_fn is not None:

@@ -595,7 +595,14 @@ def portal_cycles_v2(
     Small-pool cycles run in ~2 ms but each separate dispatch costs ~1.75 ms
     through the remote-TPU tunnel — the compacted tail pays hundreds of
     them. Seeds advance as if portal_cycle_v2 had been called per cycle
-    with cycle index cycle0+i. Returns (pool', rays, unfinished)."""
+    with cycle index cycle0+i. Returns (pool', rays, unfinished).
+
+    A per-cycle IN-LOOP redistribution variant was built and measured
+    DEAD in r5 (mesh@64 spp): at full width it cost 96 vs 143 Mray/s
+    (tiny adopted ranges churn + the cumsum/scatter sweep every cycle),
+    and gated to the fused small-width drain it was neutral in all three
+    short-render workloads — poll-cadence redistribution already
+    re-tasks the drain as fast as laggards can donate."""
 
     def body(i, carry):
         pool, rays, _ = carry
@@ -620,6 +627,21 @@ def portal_cycles_v2(
     )
 
 
+def _redist_min(quota: int) -> int:
+    """Minimum un-issued samples a redistribution split leaves on EACH
+    half (PT_TPU_REDIST_MIN overrides). Scaled to the per-slot quota:
+    the fixed 16 tuned at the 1024-spp headline makes the last 2*16
+    samples of every laggard non-redistributable — 3% of a 1024-sample
+    quota but HALF of a 64-sample one, which is exactly the short-render
+    drain tail (VERDICT r5 #1). quota//16 keeps the non-distributable
+    remainder at ~3% of any pass, floored at 2 (a split must move >= 2
+    samples to be worth the slot re-tasking)."""
+    env = os.environ.get("PT_TPU_REDIST_MIN")
+    if env is not None:
+        return int(env)
+    return min(16, max(2, quota // 16))
+
+
 # tail-compaction ladder: fixed pool widths (compile-once shapes) the
 # unfinished tail is squeezed into once it fits. Measured need
 # (scripts/profile_portal_v2.py, mesh 1024x768 quota 64): the pass spends
@@ -627,7 +649,12 @@ def portal_cycles_v2(
 # 786K-lane pool for a dwindling <77K-slot tail — mesh-facing pixels freeze
 # on every segment, so they need hundreds of cheap+resolve cycles. Squeezing
 # them into 2048-65536-lane pools makes those cycles ~width-proportional.
-TAIL_LADDER = (262144, 131072, 65536, 16384, 8192, 2048)
+# The 524288/393216/98304/32768 rungs came from the r5 short-render trace
+# (scripts/trace_drive.py @64 spp): u sat at 550K..250K for 12 full-width
+# cycles and at 19K for 8 cycles of a 65536 pool — each rung is one more
+# compile-once shape that keeps cycle cost tracking the actual tail.
+TAIL_LADDER = (524288, 393216, 262144, 131072, 98304, 65536, 32768,
+               16384, 8192, 2048)
 
 
 @functools.partial(jax.jit, static_argnames=("park_k",),
@@ -820,6 +847,28 @@ def _compact_tail(pool, idx, valid):
     entries — padding lanes are fully zeroed (dead, no radiance, empty
     park buffers, done == quota == 0 so they are born retired and never
     issue), and the `.max` scatter ignores their duplicate column ids."""
+    small = jnp.take(pool, idx, axis=1)
+    v = valid.astype(jnp.float32)
+    moved = jnp.zeros((pool.shape[1],), jnp.float32).at[idx].max(v)
+    pool = pool.at[ROW_ACC:ROW_ACC + 3].multiply(1.0 - moved[None])
+    small = small * v[None]
+    return pool, small
+
+
+@functools.partial(jax.jit, static_argnames=("target",), donate_argnums=(0,))
+def _compact_tail_auto(pool, *, target: int):
+    """_compact_tail with the gather indices computed ON DEVICE: stable-
+    partition unfinished slots to the front (the same slot order as the
+    host flatnonzero path it replaces — the sharded runner's per-device
+    compact has always worked this way) and mask the padding tail.
+    Avoids fetching two full pool rows ([2, W] f32 — 6 MB at the mesh
+    headline width) through the tunnel at every ladder rung, a fixed
+    per-render cost that matters on short low-spp renders."""
+    unfin = pool[V2_ROW_DONE] < pool[V2_ROW_QUOTA]
+    order = jnp.argsort(jnp.where(unfin, 0, 1).astype(jnp.int32),
+                        stable=True)
+    idx = order[:target].astype(jnp.int32)
+    valid = jnp.arange(target) < jnp.sum(unfin.astype(jnp.int32))
     small = jnp.take(pool, idx, axis=1)
     v = valid.astype(jnp.float32)
     moved = jnp.zeros((pool.shape[1],), jnp.float32).at[idx].max(v)
@@ -1045,7 +1094,7 @@ def drive_pool_v2(
     # slots adopt the upper halves of laggards' remaining sample ranges at
     # poll cadence, holding bulk occupancy up (see redistribute_samples)
     redist = os.environ.get("PT_TPU_REDIST", "1") != "0"
-    redist_min = int(os.environ.get("PT_TPU_REDIST_MIN", "16"))
+    redist_min = _redist_min(k_pass)
     # a laggard needs >= 2*min_rem un-issued samples, so a small pass can
     # never redistribute — skip the branch (and its flush stage) entirely
     redist = redist and k_pass >= 2 * redist_min
@@ -1127,11 +1176,7 @@ def drive_pool_v2(
                 target = w  # smallest ladder width that fits the tail
         if target is None:
             return None
-        dq = np.asarray(pool[np.array([V2_ROW_DONE, V2_ROW_QUOTA])])
-        idx_np = np.flatnonzero(dq[0] < dq[1]).astype(np.int32)
-        idx = jnp.asarray(np.pad(idx_np, (0, target - len(idx_np))))
-        valid = jnp.asarray(np.arange(target) < len(idx_np))
-        return _compact_tail(pool, idx, valid)
+        return _compact_tail_auto(pool, target=target)
 
     res = drive.drive_loop(
         pool,

@@ -23,9 +23,13 @@ CONFIGS = [
     ("three-spheres", 384, 256, 2048),
     ("cornell", 1024, 768, 512),
     # mesh rows: 1024 spp = one big portal pass (steady-state headline);
-    # 64 spp = the drain-dominated short render
+    # 64 spp = the drain-dominated short render; 450x300 @ 500/100 spp =
+    # the reference GUI's own default workloads
+    # (/root/reference/src/main.rs:91-92, .vscode/launch.json:13-17)
     ("mesh", 1024, 768, 1024),
     ("mesh", 1024, 768, 64),
+    ("mesh", 450, 300, 500),
+    ("mesh", 450, 300, 100),
 ]
 
 

@@ -281,11 +281,17 @@ def test_cheap_kernel_freeze_semantics(mesh_packed, portal_consts, all_scenes):
 
 
 @pytest.mark.slow
-def test_portal_render_end_to_end(all_scenes):
-    """Scheduler conservation + depth-1 image parity with the XLA path."""
+def test_portal_render_end_to_end(all_scenes, monkeypatch):
+    """Scheduler conservation + depth-1 image parity with the XLA path.
+    PARK_K=1: the property (pipeline routing + conservation + parity on
+    the REAL mesh scene) is park-depth-independent, and the interpreter
+    pays ~3x for the production park_k=3 shape — which IS covered at
+    full depth by test_resolve_pool_native_bit_identical[3-2]. (This was
+    the single most expensive test of the suite, ~12 min.)"""
     from path_tracer_tpu.render import pipeline
     from path_tracer_tpu.utils.config import RenderConfig, Resolution
 
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
     scene = all_scenes["mesh"]
     res = Resolution.from_height(24)
     spp = 2
@@ -364,38 +370,78 @@ def test_compact_tail_accounting():
         scatter(src) + scatter(small), scatter(pool), rtol=1e-5, atol=1e-6
     )
 
+    # the on-device index selection (_compact_tail_auto — no [2, W] host
+    # fetch per ladder rung) must be BITWISE the host-index path
+    src_a, small_a = rportal._compact_tail_auto(
+        jnp.asarray(pool), target=target)
+    np.testing.assert_array_equal(np.asarray(src_a), src)
+    np.testing.assert_array_equal(np.asarray(small_a), small)
+
 
 @pytest.mark.slow
-def test_drive_pool_v2_compaction_equivalence(all_scenes):
+def test_drive_pool_v2_compaction_equivalence(monkeypatch):
     """Tail compaction is radiance-exact for every slot it does NOT move
     (bit-identical to the uncompacted drive — inert lanes are provably
-    untouched by later cycles) and sample-exact for the ones it does."""
-    from path_tracer_tpu.render import pipeline
+    untouched by later cycles) and sample-exact for the ones it does.
+    PARK_K=1 + the synthetic 72-tri scene: compaction exactness is
+    park-depth- and scene-independent, and the interpreter's resolve
+    cost scales with both park depth (~3x at the production 3) and
+    triangle count (824 -> 72 = ~11x) — at the real-mesh/park-3 shape
+    this was the second most expensive test of the suite (~11 min).
+    Real-scene end-to-end coverage lives in
+    test_portal_render_end_to_end; full-depth parking in
+    test_resolve_pool_native_bit_identical[3-2]."""
+    from path_tracer_tpu.ops.pallas.trace_kernel import (
+        TILE_META, kernel_scene_buffers,
+    )
     from path_tracer_tpu.render import portal as rportal
     from path_tracer_tpu.utils.config import Resolution
 
-    scene = all_scenes["mesh"]
-    res = Resolution.from_height(48)
-    spp, depth = 1, 2  # 1 spp: the interpreter pays ~2 min/drive as is
-    bufs, mode = pipeline.prepare_scene_and_mode(scene, "pallas", res)
-    pkey = mode.split("@", 1)[0]
+    monkeypatch.setattr(portal_mod, "PARK_K", 1)
+    # isolate COMPACTION: redistribution re-tasks slots (its own
+    # exactness is covered by test_redistribute_* and the sharded tests)
+    # and would break the bit-identity comparison below
+    monkeypatch.setenv("PT_TPU_REDIST", "0")
+    scene = _synthetic_portal_scene()
+    res = Resolution.from_height(48)  # npix 3456 -> n_pad 4096 > 2048
+    spp, depth = 1, 2
+    packed = pack_scene(scene)
+    portal = portal_mod.build_portal_consts(packed)
+    assert portal is not None
+    pkey = "portal:test-synth-compact48"
+    trace_v2.register_scene(pkey, portal[0])
     cam_key = f"{pkey}:cam:{res.width}x{res.height}"
+    trace_v2.register_scene(cam_key, trace_v2.build_camera_consts(
+        scene.camera, res.width, res.height))
+    kbufs, meta = kernel_scene_buffers(packed, with_meta=True)
+    TILE_META[pkey] = meta
     npix = res.num_pixels
     n_pad = rportal._round_block(npix)
     assert n_pad > 2048  # the ladder has somewhere to squeeze the tail
 
-    from path_tracer_tpu.render.portal import make_pool_v2
+    # HETEROGENEOUS per-slot quotas (1..8, the shape of a resumed or
+    # redistributed pool): a uniform-quota synth pool drains as a cliff
+    # (u: 3064 -> 0 in one cycle — no poll ever sees a ladder-sized
+    # tail), while staggered quotas retire slots over ~2*quota cycles at
+    # step_cap=1, guaranteeing polls with 0 < u <= 2048
+    quota_np = 1.0 + (np.arange(npix) % 8)
+    spp = 8  # k_pass >= max per-slot quota
 
     def fresh_pool():
-        return make_pool_v2(npix, n_pad, spp)
+        return rportal._pool_from_rows(
+            jnp.asarray(np.arange(npix), jnp.float32),
+            jnp.zeros(npix, jnp.float32),
+            jnp.asarray(quota_np, jnp.float32),
+            n_pad=n_pad, park_k=1,
+        )
 
     def drive(ladder):
         with pltpu.force_tpu_interpret_mode():
             return rportal.drive_pool_v2(
-                fresh_pool(), spp, 0, jnp.int32(3), bufs["kernel"],
+                fresh_pool(), spp, 0, jnp.int32(3), kbufs,
                 portal_key=pkey, cam_key=cam_key, max_depth=depth,
                 rr_start_depth=5, check_every=1, ladder=ladder,
-                adaptive_polls=False,
+                adaptive_polls=False, step_cap=1,
             )
 
     stages, rays = drive((2048,))
@@ -798,6 +844,25 @@ def test_portal_pass_runner_v2_pause_checkpoint_resume(synth_portal,
     assert float(np.asarray(rays_res)) == rem
     acc = np.asarray(accum_res)
     assert np.isfinite(acc).all() and acc.sum() > 0.0
+
+
+def test_redist_min_scales_with_quota(monkeypatch):
+    """Redistribution's min split size scales to the pass quota so short
+    passes (the reference's interactive 64-500 spp workloads) keep
+    redistributing into the drain tail: the fixed 16 left HALF of a
+    64-sample quota non-distributable. Env override preserved."""
+    from path_tracer_tpu.render.portal import _redist_min
+
+    monkeypatch.delenv("PT_TPU_REDIST_MIN", raising=False)
+    assert _redist_min(1024) == 16
+    assert _redist_min(512) == 16
+    assert _redist_min(256) == 16
+    assert _redist_min(100) == 6
+    assert _redist_min(64) == 4
+    assert _redist_min(16) == 2
+    assert _redist_min(1) == 2
+    monkeypatch.setenv("PT_TPU_REDIST_MIN", "9")
+    assert _redist_min(64) == 9
 
 
 def test_with_cnt_base_wider_snapshot():
