@@ -509,8 +509,15 @@ def render(
     )
     # sharded accum (render_sharded): checkpoints must gather the global
     # value (multi-host: np.asarray on a non-addressable array would throw)
-    # and restores must re-shard it
+    # and restores must re-shard it. NOTE: every jax array carries a
+    # .sharding (SingleDeviceSharding for plain arrays), so "is it
+    # sharded" must test for an explicit accum_init with a NamedSharding
+    # — r3's packed one-round-trip finalize fetch was keyed on
+    # `accum_sharding is None` and therefore NEVER ran (caught by the r5
+    # overhead decomposition: 105 ms of two serialized fetches where the
+    # packed path pays ~40).
     accum_sharding = getattr(accum, "sharding", None)
+    is_sharded_accum = isinstance(accum_sharding, jax.sharding.NamedSharding)
 
     def accum_to_host(a) -> np.ndarray:
         from path_tracer_tpu.parallel.distributed import assemble_image
@@ -784,7 +791,7 @@ def render(
         )
     else:
         final = integrator.finalize(accum, effective_spp)
-    if accum_sharding is None and jax.process_count() == 1:
+    if not is_sharded_accum and jax.process_count() == 1:
         # ONE host round-trip for image + ray counts: each separate fetch
         # is a ~25 ms tunnel round-trip — at small-scene walls of ~0.1 s
         # the second fetch alone was ~20% of the render

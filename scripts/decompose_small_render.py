@@ -117,7 +117,7 @@ def main():
         img = np.ascontiguousarray(img)
         t["image"] = tick() - t0
         t["wall"] = sum(t.values())
-        if timed:
+        if timed is not None:
             timed.append(t)
         return host[-1]
 

@@ -28,6 +28,25 @@ def test_render_two_spheres(all_scenes, tmp_path):
     assert os.path.exists(done.ppm_path)
 
 
+def test_plain_render_takes_packed_fetch_path(all_scenes, monkeypatch):
+    """A plain (non-sharded) render must finalize via the packed ONE
+    round-trip fetch, never the sharded assemble_image gather. Regression
+    for the r5 find: the packed path was keyed on `accum.sharding is
+    None`, which no jax array satisfies (plain arrays carry a
+    SingleDeviceSharding) — so it had been dead since r3, costing two
+    serialized device fetches (~105 vs ~40 ms) on every small render."""
+    from path_tracer_tpu.parallel import distributed
+
+    def boom(a):
+        raise AssertionError("plain render fell into the sharded "
+                             "assemble_image finalize path")
+
+    monkeypatch.setattr(distributed, "assemble_image", boom)
+    done = pt.render(all_scenes["two-spheres"], _cfg(), out_dir=None,
+                     verbose=False)
+    assert done.stats.num_rays > 0  # rendered fine without assemble_image
+
+
 def test_render_deterministic_same_seed(all_scenes):
     r1 = pt.render(all_scenes["cornell"], _cfg(16, 4, seed=3), out_dir=None,
                    verbose=False)
