@@ -75,14 +75,17 @@ def main():
         "(scripts/bench_all.py, 2nd-best of 4 timed renders per row; "
         "cross-session tunnel drift is ±8%, see CLAUDE.md). mesh rides "
         "the portal v2 scheduler (render/portal.py) with BIG passes, "
-        "batched termination polls, pool-native resolve and mid-pass "
-        "sample redistribution — the 1024-spp row is ONE pass "
-        "(steady-state headline); the 64-spp row pays the full pool "
-        "drain tail on a ~4 s render. Small-scene rows (walls of "
-        "~0.15 s) are bounded by fixed per-render host/tunnel overhead, "
-        "not the kernel (single-sphere kernel-only measures ~2.9 "
-        "Gsam/s); treat them as lower bounds, and see PERF.md's fusion "
-        "A/B for the per-scene dispatch economics.",
+        "PIPELINED termination polls (the device runs through every "
+        "poll round-trip), pool-native resolve, on-device tail "
+        "compaction and quota-scaled mid-pass redistribution — the "
+        "1024-spp row is ONE pass (steady-state headline); the "
+        "450x300 rows are the reference GUI's own default workloads "
+        "(main.rs:91-92 / launch.json); the short rows still pay the "
+        "pool drain tail (every cadence/granularity lever on it is "
+        "measured in PERF.md's r5 entry). Small-scene walls are "
+        "~60 ms kernel + ~30 ms packed single-fetch of the frame "
+        "through the tunnel (scripts/decompose_small_render.py "
+        "itemizes them).",
     ]
     with open("BENCH_ALL.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
