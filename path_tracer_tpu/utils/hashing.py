@@ -35,6 +35,14 @@ def hash_image(pixels: np.ndarray) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
 
 
+def hash_bytes(data: bytes) -> int:
+    """Content digest over raw bytes (uint8 preview frames). blake2b: the
+    frames are small (~100 KB) and only self-consistency matters."""
+    import hashlib
+
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
 def fnv1a(data: bytes) -> int:
     """Reference FNV-1a 64 (used by tests to validate the native encoder)."""
     h = FNV_OFFSET

@@ -36,17 +36,22 @@ import numpy as np
 
 import path_tracer_tpu as pt
 from path_tracer_tpu.utils.config import RenderConfig, Resolution, RES_Y_RANGE, SPP_RANGE
+from path_tracer_tpu.utils.hashing import hash_bytes
 from path_tracer_tpu.viewer.controls import SceneNavigator
 from path_tracer_tpu.viewer.debug import test_scene_ray
 from path_tracer_tpu.viewer.progressive import ProgressiveRenderer
 
 
 def _png_bytes(rgb01: np.ndarray) -> bytes:
+    arr = (np.clip(rgb01, 0, 1) * 255 + 0.5).astype(np.uint8)
+    return _png_u8(arr)
+
+
+def _png_u8(arr: np.ndarray) -> bytes:
     from PIL import Image as PILImage
 
-    arr = (np.clip(rgb01, 0, 1) * 255 + 0.5).astype(np.uint8)
     buf = io.BytesIO()
-    PILImage.fromarray(arr).save(buf, format="PNG")
+    PILImage.fromarray(np.ascontiguousarray(arr)).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -81,9 +86,15 @@ class ViewerState:
     def preview_frame(self) -> tuple[bytes, str]:
         """(png, etag). The etag is the content hash (C15, mod.rs:916-926) —
         clients redraw only when it changes, the HTTP analog of the
-        reference's hash-keyed canvas cache (render_tab.rs:240-326)."""
-        img = self.preview.step()
-        return _png_bytes(np.power(img.to_grid(), 1 / 2.2)), f'"{img.hash:x}"'
+        reference's hash-keyed canvas cache (render_tab.rs:240-326).
+
+        Frames ride the uint8 transport (``step_u8``: on-device gamma +
+        quantization, 4x smaller device fetch than the f32 ``step()``)."""
+        frame = self.preview.step_u8()
+        h, w = self.preview.resolution.height, self.preview.resolution.width
+        # display orientation, as Image.to_grid: row 0 = PPM row 0
+        grid = frame.reshape(h, w, 3)[::-1, ::-1, :]
+        return _png_u8(grid), f'"{hash_bytes(frame.tobytes()):x}"'
 
     def control(self, action: str, dx: float, dy: float):
         nav = self.navigator

@@ -75,9 +75,29 @@ class ProgressiveRenderer:
     def step(self) -> Image:
         """Render one frame's worth of samples; returns the running image."""
         with self._lock:
-            return self._step_locked()
+            self._advance_locked()
+            img = integrator.finalize(self._accum, self.samples_done)
+            return Image.new(np.asarray(img), self.resolution)
 
-    def _step_locked(self) -> Image:
+    def step_u8(self) -> np.ndarray:
+        """One frame, fetched gamma-quantized as uint8 ``[npix, 3]``.
+
+        The display transport for HTTP viewers: gamma + quantization run
+        on-device and the frame crosses the host link as 1 byte/channel —
+        4x smaller than the f32 ``Image`` ``step()`` fetches (static-scene
+        preview frames are fetch-floor-bound, PERF.md r5). Same quantizer
+        as the PPM writer (``to_int_with_gamma_correction``) up to f32-pow
+        last-ulp rounding."""
+        from path_tracer_tpu.ops import tonemap
+
+        with self._lock:
+            self._advance_locked()
+            img8 = tonemap.to_int_with_gamma_correction(
+                integrator.finalize(self._accum, self.samples_done)
+            ).astype(jnp.uint8)
+            return np.asarray(img8)
+
+    def _advance_locked(self) -> None:
         self._accum, _ = integrator.render_pass(
             self.scene_bufs,
             self._cam,
@@ -93,8 +113,6 @@ class ProgressiveRenderer:
             mode=self.mode,
         )
         self._frame += 1
-        img = integrator.finalize(self._accum, self.samples_done)
-        return Image.new(np.asarray(img), self.resolution)
 
     def move_camera(self, camera) -> None:
         with self._lock:

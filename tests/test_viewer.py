@@ -115,6 +115,31 @@ def test_grid_spacing_log_scale():
     assert far.max() > near.max() * 5  # spacing grows with zoom
 
 
+def test_progressive_u8_transport(all_scenes):
+    """step_u8 (the HTTP preview transport: on-device gamma+quantize,
+    uint8 fetch) is the same quantizer as the PPM writer: exact vs the
+    f32 formula on the renderer's own accumulator, within 1 count of the
+    f64 host quantizer (f32-pow last-ulp rounding, tonemap.quantize_np)."""
+    from path_tracer_tpu.ops import tonemap
+    from path_tracer_tpu.render import integrator
+    from path_tracer_tpu.utils.config import Resolution
+    from path_tracer_tpu.viewer.progressive import ProgressiveRenderer
+
+    r = ProgressiveRenderer(all_scenes["two-spheres"], Resolution.from_height(24))
+    frame = r.step_u8()
+    npix = r.resolution.num_pixels
+    assert frame.dtype == np.uint8 and frame.shape == (npix, 3)
+    fin = integrator.finalize(r._accum, r.samples_done)
+    exact = np.asarray(tonemap.to_int_with_gamma_correction(fin))
+    assert np.array_equal(frame, exact.astype(np.uint8))
+    host = tonemap.quantize_np(np.asarray(fin))
+    assert np.abs(frame.astype(np.int32) - host).max() <= 1
+    # interleaving transports keeps one shared accumulation stream
+    img = r.step()
+    assert r.samples_done == 2 * r.spp_per_frame
+    assert img.pixels.shape == (npix, 3)
+
+
 @pytest.mark.filterwarnings("ignore")
 def test_http_app_endpoints(repo_root):
     import os
