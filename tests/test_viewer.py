@@ -140,6 +140,36 @@ def test_progressive_u8_transport(all_scenes):
     assert img.pixels.shape == (npix, 3)
 
 
+def test_preview_png_orientation(repo_root):
+    """The served preview PNG is the u8 frame in display orientation —
+    the same double flip as Image.to_grid (row 0 = PPM row 0). PNG is
+    lossless, so the decode must be bit-exact against the renderer's own
+    accumulator."""
+    import io
+    import os
+
+    from PIL import Image as PILImage
+
+    from path_tracer_tpu.ops import tonemap
+    from path_tracer_tpu.render import integrator
+
+    os.chdir(repo_root)
+    from path_tracer_tpu.viewer.app import ViewerState
+
+    state = ViewerState(preview_res=24)
+    state.select_scene("two-spheres")
+    png, _ = state.preview_frame()
+    arr = np.asarray(PILImage.open(io.BytesIO(png)))
+    r = state.preview
+    h, w = r.resolution.height, r.resolution.width
+    exact = np.asarray(
+        tonemap.to_int_with_gamma_correction(
+            integrator.finalize(r._accum, r.samples_done)
+        )
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(arr, exact.reshape(h, w, 3)[::-1, ::-1, :])
+
+
 @pytest.mark.filterwarnings("ignore")
 def test_http_app_endpoints(repo_root):
     import os
